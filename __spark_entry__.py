@@ -1,38 +1,656 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship frontier-expansion query on sf0.001.
+``queries()``/``oracle_sql()`` expose one entry per implemented operator
+from SURVEY.md §2 (+ the training-data ops), each checked against DuckDB
+at sf0.01 by the driver.
+
+Harness table roles (SURVEY.md §2): ``orders``≈frontier jobs,
+``customer``≈workers, ``events``≈completions/heartbeats,
+``documents``≈pages webtext, ``lineitem`` volume, dims for joins.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawlingathome_server_spark.functions import text as tx
+from crawlingathome_server_spark.functions.urls import oracle_hash, oracle_hash_sql
+from crawlingathome_server_spark.operators import aggregates as agg
+from crawlingathome_server_spark.operators import claim as claim_op
+from crawlingathome_server_spark.sources import seed as seed_src
+
+SEED = 42
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship query on sf0.001
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: frontier expansion (SURVEY.md §7 M1) over a pages-shaped
+    projection of the sf0.001 documents table — canonicalize+hash (F9),
+    exact dedup (D1), per-host politeness claim (§2.7)."""
+    from crawlingathome_server_spark.plans.rounds import expand_frontier
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    pages = docs.select(
+        F.concat(
+            F.lit("HTTP://"),
+            F.upper(F.col("source")),
+            F.lit(".Example.com:80/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?b=2&a=1#frag"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1_600_000_000) + F.col("doc_id")).alias("warc_ts"),
+    )
+    return expand_frontier(pages, robots=None, seed=SEED, default_budget=8)
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# --- P: projections / filters / predicates (SURVEY.md §2.2) ---------------
+
+
+@_q(
+    "p1_open_filter",
+    "SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders "
+    "WHERE o_orderstatus = 'O' AND o_orderpriority <> '1-URGENT'",
+)
+def p1_open_filter(spark, sf_dir):
+    """P1 conjunctive boolean filter (main.py:386,607-609)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "O") & (F.col("o_orderpriority") != "1-URGENT"))
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@_q("p2_point_lookup", "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey = 42")
+def p2_point_lookup(spark, sf_dir):
+    """P2 point lookup by PK (main.py:215,541)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") == 42)
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@_q(
+    "p3_in_list",
+    "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey IN (1, 7, 32, 64, 129, 1000)",
+)
+def p3_in_list(spark, sf_dir):
+    """P3 IN-list predicate (main.py:406-407,447-448)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey").isin(1, 7, 32, 64, 129, 1000))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@_q(
+    "p4_range_nullcheck",
+    "SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal <= 1000.0 AND c_name IS NOT NULL",
+)
+def p4_range_nullcheck(spark, sf_dir):
+    """P4 range + null-check predicates (reaper filter, main.py:753,759)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter((F.col("c_acctbal") <= 1000.0) & F.col("c_name").isNotNull())
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+@_q(
+    "p5_contains_shortcircuit",
+    "SELECT o_orderkey, (o_orderpriority LIKE '%URGENT%') AS is_shortcircuit FROM orders",
+)
+def p5_contains(spark, sf_dir):
+    """P5 string-contains branch ('postgres' in gpu_url, main.py:413-415)."""
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").contains("URGENT").alias("is_shortcircuit")
+    )
+
+
+@_q("p7_projection", "SELECT o_orderkey FROM orders")
+def p7_projection(spark, sf_dir):
+    """P7 single-column projection (main.py:376-378) — column pruning."""
+    return _t(spark, sf_dir, "orders").select("o_orderkey")
+
+
+# --- J: joins (SURVEY.md §2.3) --------------------------------------------
+
+
+@_q(
+    "j1_fk_prefetch_join",
+    "SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice "
+    "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey",
+)
+def j1_fk_join(spark, sf_dir):
+    """J1 FK prefetch = left outer equi-join (main.py:102-108,541)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@_q(
+    "j2_semi_membership",
+    "SELECT c_custkey FROM customer c WHERE EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')",
+)
+def j2_semi(spark, sf_dir):
+    """J2 left-semi membership (isCompleted part 1, main.py:469-470)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+@_q(
+    "j3_anti_not_exists",
+    "SELECT c_custkey FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def j3_anti(spark, sf_dir):
+    """J3 NOT EXISTS as one anti-join (vs per-row loop, main.py:472-477)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@_q(
+    "j4_chunk_lookup",
+    "SELECT o_custkey, count(*) AS n_shards, min(o_orderkey) AS first_shard "
+    "FROM orders GROUP BY o_custkey HAVING count(*) >= 2",
+)
+def j4_chunk_lookup(spark, sf_dir):
+    """J4 lookup_wat chunk pairing: key groups with >=2 members
+    (main.py:386-399)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_shards"),
+            F.min("o_orderkey").alias("first_shard"),
+        )
+        .filter(F.col("n_shards") >= 2)
+    )
+
+
+@_q(
+    "j5_leaderboard_upsert",
+    "WITH existing AS (SELECT o_custkey AS nickname, count(*) AS jobs_completed "
+    "  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey), "
+    "delta AS (SELECT o_custkey AS nickname, count(*) AS d_jobs "
+    "  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey) "
+    "SELECT coalesce(e.nickname, d.nickname) AS nickname, "
+    "coalesce(e.jobs_completed, 0) + coalesce(d.d_jobs, 0) AS jobs_completed "
+    "FROM existing e FULL OUTER JOIN delta d ON e.nickname = d.nickname",
+)
+def j5_upsert(spark, sf_dir):
+    """J5 get_or_create + increment as one full-outer merge
+    (main.py:428-435,451-460)."""
+    o = _t(spark, sf_dir, "orders")
+    existing = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("nickname"))
+        .agg(F.count(F.lit(1)).alias("jobs_completed"))
+    )
+    delta = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("nickname"))
+        .agg(F.count(F.lit(1)).alias("d_jobs"))
+    )
+    e, d = existing.alias("e"), delta.alias("d")
+    return e.join(d, on="nickname", how="full_outer").select(
+        F.col("nickname"),
+        (F.coalesce(F.col("jobs_completed"), F.lit(0)) + F.coalesce(F.col("d_jobs"), F.lit(0))).alias(
+            "jobs_completed"
+        ),
+    )
+
+
+# --- A: aggregations (SURVEY.md §2.4) -------------------------------------
+
+
+@_q(
+    "a1_dashboard_counts",
+    "SELECT count(*) AS total_jobs, "
+    "sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS completed_jobs, "
+    "sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_jobs, "
+    "sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS pending_jobs "
+    "FROM orders",
+)
+def a1_counts(spark, sf_dir):
+    """A1: the dashboard's ~6 COUNT queries fused into one pass
+    (main.py:96-112)."""
+    s = F.col("o_orderstatus")
+    return _t(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("total_jobs"),
+        F.sum(F.when(s == "F", 1).otherwise(0)).alias("completed_jobs"),
+        F.sum(F.when(s == "O", 1).otherwise(0)).alias("open_jobs"),
+        F.sum(F.when(s == "P", 1).otherwise(0)).alias("pending_jobs"),
+    )
+
+
+@_q(
+    "a2_completion_ratio",
+    "SELECT CASE WHEN count(*) > 0 THEN round(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END)"
+    " * 100.0 / count(*), 6) ELSE 100.0 END AS completion_pct FROM orders",
+)
+def a2_ratio(spark, sf_dir):
+    """A2 guarded completion percentage (main.py:153-154,260)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.round(
+                F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+                * 100.0
+                / F.count(F.lit(1)),
+                6,
+            ),
+        )
+        .otherwise(100.0)
+        .alias("completion_pct")
+    )
+
+
+@_q(
+    "a3_grouped_sum",
+    "SELECT o_custkey AS nickname, count(*) AS jobs_completed, "
+    "round(sum(o_totalprice), 4) AS pairs_scraped FROM orders GROUP BY o_custkey",
+)
+def a3_grouped_sum(spark, sf_dir):
+    """A3 leaderboard build: grouped count+sum (main.py:451-460)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("nickname"))
+        .agg(
+            F.count(F.lit(1)).alias("jobs_completed"),
+            F.round(F.sum("o_totalprice"), 4).alias("pairs_scraped"),
+        )
+    )
+
+
+@_q(
+    "a5_sliding_window_mean",
+    "SELECT event_id, round(avg(value) OVER "
+    "(ORDER BY ts, event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS sliding_avg "
+    "FROM events",
+)
+def a5_sliding_mean(spark, sf_dir):
+    """A5 ETA deque: 10-sample sliding mean (main.py:782-808)."""
+    w = Window.orderBy("ts", "event_id").rowsBetween(-9, 0)
+    return _t(spark, sf_dir, "events").select(
+        "event_id", F.round(F.avg("value").over(w), 6).alias("sliding_avg")
+    )
+
+
+@_q(
+    "a6_efficiency_kpi",
+    "SELECT user_id, count(*) AS n_events, "
+    "round(CASE WHEN max(cast(floor(epoch(ts)) AS bigint)) > min(cast(floor(epoch(ts)) AS bigint)) THEN "
+    "count(*) / (max(cast(floor(epoch(ts)) AS bigint)) - min(cast(floor(epoch(ts)) AS bigint))) * 3600.0 "
+    "ELSE 0.0 END, 6) AS events_per_hour FROM events GROUP BY user_id",
+)
+def a6_efficiency(spark, sf_dir):
+    """A6 shards/hour KPI (templates/worker.html:37)."""
+    e = _t(spark, sf_dir, "events")
+    span = F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.when(span > 0, F.count(F.lit(1)) / span * 3600.0).otherwise(0.0), 6
+        ).alias("events_per_hour"),
+    )
+
+
+# --- O: sorts / top-k / deterministic random (SURVEY.md §2.5) -------------
+
+
+@_q(
+    "o1_topk_per_type",
+    "SELECT c_custkey, c_mktsegment, rank_in_seg FROM ("
+    "SELECT c_custkey, c_mktsegment, row_number() OVER "
+    "(PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rank_in_seg "
+    "FROM customer) WHERE rank_in_seg <= 50",
+)
+def o1_topk(spark, sf_dir):
+    """O1: per-type top-50 in one window pass (main.py:102-108)."""
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        _t(spark, sf_dir, "customer")
+        .withColumn("rank_in_seg", F.row_number().over(w))
+        .filter(F.col("rank_in_seg") <= 50)
+        .select("c_custkey", "c_mktsegment", "rank_in_seg")
+    )
+
+
+@_q(
+    "o2_leaderboard_sort",
+    "SELECT o_custkey AS nickname, count(*) AS jobs_completed FROM orders "
+    "GROUP BY o_custkey ORDER BY jobs_completed DESC, nickname LIMIT 100",
+)
+def o2_sort(spark, sf_dir):
+    """O2 leaderboard ORDER BY DESC + LIMIT (main.py:196-197)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("nickname"))
+        .agg(F.count(F.lit(1)).alias("jobs_completed"))
+        .orderBy(F.desc("jobs_completed"), F.asc("nickname"))
+        .limit(100)
+    )
+
+
+@_q(
+    "o4_seeded_hash_claim",
+    "SELECT number, host, order_key FROM ("
+    "SELECT o_orderkey AS number, o_orderpriority AS host, "
+    f"{oracle_hash_sql('o_orderkey', SEED)} AS order_key, "
+    "row_number() OVER (PARTITION BY o_orderpriority ORDER BY "
+    f"{oracle_hash_sql('o_orderkey', SEED)}, o_orderkey) AS rn "
+    "FROM orders WHERE o_orderstatus <> 'F') WHERE rn <= 5",
+)
+def o4_claim(spark, sf_dir):
+    """O4+§2.7: the claim operator — deterministic seeded-hash order
+    replacing ORDER BY RANDOM() (models.py:105-131), per-host budgeted
+    window rank, exercised through the REAL two-phase salted
+    implementation and checked against the plain one-phase SQL spec."""
+    o = _t(spark, sf_dir, "orders")
+    cand = o.select(
+        F.col("o_orderkey").alias("number"),
+        F.col("o_orderpriority").alias("host"),
+        F.lit(0.0).alias("priority"),
+        F.lit(False).alias("pending"),
+        (F.col("o_orderstatus") == "F").alias("closed"),
+        F.lit(False).alias("gpu"),
+    )
+    claimed = claim_op.claim_batch(
+        cand, robots=None, seed=SEED, default_budget=5, salt_buckets=8, use_oracle_hash=True
+    )
+    return claimed.select("number", "host", "order_key")
+
+
+# --- D: dedup / set ops (SURVEY.md §2.6) ----------------------------------
+
+
+@_q(
+    "d1_dedup_first_wins",
+    "SELECT l_orderkey, l_partkey, l_quantity FROM ("
+    "SELECT l_orderkey, l_partkey, l_quantity, row_number() OVER "
+    "(PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn "
+    "FROM lineitem) WHERE rn = 1",
+)
+def d1_dedup(spark, sf_dir):
+    """D1 first-wins dedup by key (update_db.py:98-105); full tie-break
+    chain because the synthetic lineitem is not unique on linenumber."""
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_suppkey")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+
+
+@_q(
+    "d3_union_seed_partitions",
+    "SELECT o_orderkey, false AS closed FROM orders WHERE o_orderstatus = 'O' "
+    "UNION ALL SELECT o_orderkey, true AS closed FROM orders WHERE o_orderstatus = 'F'",
+)
+def d3_union(spark, sf_dir):
+    """D3 union of open/closed seed partitions with literal status
+    (update_db.py:44-96)."""
+    o = _t(spark, sf_dir, "orders")
+    open_df = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", F.lit(False).alias("closed")
+    )
+    closed_df = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", F.lit(True).alias("closed")
+    )
+    return open_df.unionByName(closed_df)
+
+
+# --- U: state transitions as dataflow (SURVEY.md §2.8) --------------------
+
+
+@_q(
+    "u2_mark_done_merge",
+    "SELECT o.o_orderkey, "
+    "CASE WHEN p.o_orderkey IS NOT NULL AND o.o_orderstatus <> 'F' THEN 'F' "
+    "ELSE o.o_orderstatus END AS status_after, "
+    "CASE WHEN p.o_orderkey IS NOT NULL AND o.o_orderstatus <> 'F' THEN 'done' "
+    "ELSE NULL END AS completor "
+    "FROM orders o LEFT JOIN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000) p "
+    "ON o.o_orderkey = p.o_orderkey",
+)
+def u2_mark_done(spark, sf_dir):
+    """U2 markAsDone as a batch merge rewrite (main.py:676-679)."""
+    o = _t(spark, sf_dir, "orders")
+    probe = o.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_orderkey").alias("p_key")
+    )
+    j = o.join(probe, o.o_orderkey == probe.p_key, "left")
+    hit = F.col("p_key").isNotNull() & (F.col("o_orderstatus") != "F")
+    return j.select(
+        "o_orderkey",
+        F.when(hit, "F").otherwise(F.col("o_orderstatus")).alias("status_after"),
+        F.when(hit, "done").otherwise(F.lit(None).cast("string")).alias("completor"),
+    )
+
+
+@_q(
+    "u7_idle_reaper",
+    "SELECT user_id, max(cast(floor(epoch(ts)) AS bigint)) AS last_seen FROM events "
+    "GROUP BY user_id HAVING max(cast(floor(epoch(ts)) AS bigint)) > "
+    "(SELECT max(cast(floor(epoch(ts)) AS bigint)) - 43200 FROM events)",
+)
+def u7_reaper(spark, sf_dir):
+    """U7 idle reaper: survivors after timeout cutoff (main.py:748-759)."""
+    e = _t(spark, sf_dir, "events")
+    cutoff_df = e.agg((F.max(F.unix_timestamp("ts")) - 43200).alias("cutoff"))
+    per_user = e.groupBy("user_id").agg(F.max(F.unix_timestamp("ts")).alias("last_seen"))
+    return (
+        per_user.join(F.broadcast(cutoff_df))
+        .filter(F.col("last_seen") > F.col("cutoff"))
+        .select("user_id", "last_seen")
+    )
+
+
+# --- F: scalar functions (SURVEY.md §2.9) ---------------------------------
+
+
+@_q(
+    "f2_shard_number",
+    "SELECT o_orderkey, cast(cast(end_id AS bigint) / 1000000 AS bigint) * 2 "
+    "- (CASE WHEN shard_of_chunk = 0 THEN 1 ELSE 0 END) AS shard_number FROM ("
+    "SELECT o_orderkey, cast(o_orderkey * 1000000 AS varchar) AS end_id, "
+    "o_orderkey % 2 AS shard_of_chunk FROM orders)",
+)
+def f2_shard_number(spark, sf_dir):
+    """F1/F2 shard-number arithmetic on string ids (update_db.py:12-16)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") * 1_000_000).cast("string").alias("end_id"),
+        (F.col("o_orderkey") % 2).alias("shard_of_chunk"),
+    )
+    return o.select(
+        "o_orderkey",
+        seed_src.shard_number(F.col("end_id"), F.col("shard_of_chunk")).alias("shard_number"),
+    )
+
+
+_F4_SEC = "cast(floor(abs(value) * 1000) AS bigint)"
+_F4_PARTS = [
+    (f"cast(floor({_F4_SEC} / 31536000) AS bigint)", "y"),
+    (f"cast(floor(({_F4_SEC} % 31536000) / 86400) AS bigint)", "d"),
+    (f"cast(floor(({_F4_SEC} % 86400) / 3600) AS bigint)", "h"),
+    (f"cast(floor(({_F4_SEC} % 3600) / 60) AS bigint)", "m"),
+]
+
+
+@_q(
+    "f4_humanize_duration",
+    "SELECT event_id, concat_ws(' ', "
+    + ", ".join(
+        f"CASE WHEN {e} > 0 THEN concat(cast({e} AS varchar), '{u}') END" for e, u in _F4_PARTS
+    )
+    + f", concat(cast({_F4_SEC} % 60 AS varchar), 's')) AS human FROM events",
+)
+def f4_humanize(spark, sf_dir):
+    """F4 duration humanize: divmod y/d/h/m/s chain (main.py:765-780)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        agg.humanize_duration(F.floor(F.abs(F.col("value")) * 1000)).alias("human"),
+    )
+
+
+# --- webtext / training-data ops over documents ---------------------------
+
+
+@_q(
+    "t_lang_id",
+    "SELECT doc_id, CASE "
+    f"WHEN {tx.lang_score_sql('text', 'en')} <= 0 AND {tx.lang_score_sql('text', 'de')} <= 0 "
+    f"AND {tx.lang_score_sql('text', 'fr')} <= 0 AND {tx.lang_score_sql('text', 'es')} <= 0 THEN 'nolang' "
+    f"WHEN {tx.lang_score_sql('text', 'en')} >= {tx.lang_score_sql('text', 'de')} "
+    f"AND {tx.lang_score_sql('text', 'en')} >= {tx.lang_score_sql('text', 'fr')} "
+    f"AND {tx.lang_score_sql('text', 'en')} >= {tx.lang_score_sql('text', 'es')} THEN 'en' "
+    f"WHEN {tx.lang_score_sql('text', 'de')} >= {tx.lang_score_sql('text', 'fr')} "
+    f"AND {tx.lang_score_sql('text', 'de')} >= {tx.lang_score_sql('text', 'es')} THEN 'de' "
+    f"WHEN {tx.lang_score_sql('text', 'fr')} >= {tx.lang_score_sql('text', 'es')} THEN 'fr' "
+    "ELSE 'es' END AS lang_pred FROM documents",
+)
+def t_lang_id(spark, sf_dir):
+    """Language-ID via stopword-marker argmax (ours; training-data op)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", tx.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+@_q(
+    "t_token_count",
+    "SELECT doc_id, length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens_ws "
+    "FROM documents",
+)
+def t_token_count(spark, sf_dir):
+    """Whitespace token counting (training-data op)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", tx.token_count_ws(F.col("text")).alias("n_tokens_ws")
+    )
+
+
+@_q(
+    "t_quality_features",
+    "SELECT doc_id, length(text) AS n_chars, "
+    "length(regexp_split_to_array(trim(text), '\\s+')) AS n_words, "
+    "round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0 "
+    "/ length(text), 6) AS punct_ratio "
+    "FROM documents",
+)
+def t_quality(spark, sf_dir):
+    """Quality-scoring features: length / punct ratio (training-data op)."""
+    f = tx.quality_features(F.col("text"))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        f["n_chars"].alias("n_chars"),
+        f["n_words"].alias("n_words"),
+        F.round(f["punct_ratio"], 6).alias("punct_ratio"),
+    )
+
+
+@_q(
+    "dedup_exact_hash",
+    "SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies "
+    "FROM documents GROUP BY md5(text)",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via content hash + groupBy (training-data op)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@_q(
+    "sim_knn_cosine",
+    "WITH e AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    "probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5), "
+    "scored AS (SELECT probe_id, vec_id AS cand_id, "
+    "round(list_dot_product(pv, v) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))), 6) AS cosine_sim "
+    "FROM probes, e WHERE vec_id <> probe_id) "
+    "SELECT probe_id, cand_id, cosine_sim FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine_sim DESC, cand_id) AS rn "
+    "FROM scored) WHERE rn <= 10",
+)
+def sim_knn(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline (training-data op)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    scored = (
+        F.broadcast(probes)
+        .crossJoin(e)
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(
+                dot(F.col("pv"), F.col("v"))
+                / (F.sqrt(dot(F.col("pv"), F.col("pv"))) * F.sqrt(dot(F.col("v"), F.col("v")))),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("probe_id", "cand_id", "cosine_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

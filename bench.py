@@ -1,0 +1,101 @@
+"""Headline benchmark. Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Runs on ``local[$SPARK_GRAFT_CPUS]`` over ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1). The headline metric is the total wall
+time; ``urls_scheduled_per_sec`` reports the flagship frontier-expansion
+throughput (the BASELINE.json metric). Scaling efficiency across two
+parallelism levels is measured by tools/scaling_bench.py → BENCH/.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _materialize(df) -> int:
+    """Force full execution without collecting rows to the driver."""
+    return df.count()
+
+
+def run_bench(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as se
+    from pyspark.sql import functions as F
+
+    from crawlingathome_server_spark.plans.rounds import expand_frontier
+
+    qs = se.queries()
+    headline = [
+        "j1_fk_prefetch_join",
+        "a1_dashboard_counts",
+        "a3_grouped_sum",
+        "a5_sliding_window_mean",
+        "o1_topk_per_type",
+        "o4_seeded_hash_claim",
+        "d1_dedup_first_wins",
+        "j5_leaderboard_upsert",
+        "t_lang_id",
+        "t_quality_features",
+        "dedup_exact_hash",
+        "sim_knn_cosine",
+    ]
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        _materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    # flagship: frontier expansion over a pages-shaped projection of documents
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        F.concat(
+            F.lit("HTTP://"),
+            F.upper(F.col("source")),
+            F.lit(".Example.com:80/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?b=2&a=1#frag"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1_600_000_000) + F.col("doc_id")).alias("warc_ts"),
+    )
+    n_pages = docs.count()  # warm the file listing before timing
+    t0 = time.perf_counter()
+    n_scheduled = _materialize(
+        expand_frontier(pages, robots=None, seed=42, default_budget=1 << 30)
+    )
+    flagship_s = time.perf_counter() - t0
+    timings["flagship_expand_frontier"] = round(flagship_s, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    return {
+        "metric": "headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_pages": n_pages,
+        "n_urls_scheduled": n_scheduled,
+        "urls_scheduled_per_sec": round(n_scheduled / flagship_s, 2) if flagship_s else None,
+    }
+
+
+def main() -> None:
+    from crawlingathome_server_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench", cores="*")
+    try:
+        result = run_bench(spark, sf_dir)
+    finally:
+        spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

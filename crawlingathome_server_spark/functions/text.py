@@ -1,0 +1,167 @@
+"""Webtext functions: extraction, language-ID, quality, tokens, fingerprints.
+
+All vectorized (pandas UDFs over Arrow batches) or pure built-in
+expressions — never row-at-a-time Python (BASELINE.json input_hint).
+
+``extract_text`` satisfies the byte-identical-per-url invariant: it is a
+pure function of the ``html`` bytes, pinned to stdlib ``re`` + ``html``
+(version-stable), checked against golden fixtures in tests.
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --- F10: text extraction from html:binary --------------------------------
+
+_RE_SCRIPT = re.compile(rb"(?is)<(script|style)\b.*?</\1\s*>")
+_RE_TAG = re.compile(rb"(?s)<[^>]*>")
+_RE_WS = re.compile(r"\s+")
+
+
+def _extract_one(raw: bytes | None) -> str | None:
+    if raw is None:
+        return None
+    stripped = _RE_TAG.sub(b" ", _RE_SCRIPT.sub(b" ", raw))
+    text = stripped.decode("utf-8", errors="replace")
+    return _RE_WS.sub(" ", _htmllib.unescape(text)).strip()
+
+
+@F.pandas_udf(T.StringType())
+def extract_text(html: pd.Series) -> pd.Series:
+    """html:binary → visible text. Pure, versioned (v1), byte-stable."""
+    return html.map(_extract_one)
+
+
+# --- language ID: n-gram/stopword heuristic -------------------------------
+
+# Marker words chosen to be disjoint across languages; the score is the
+# count of marker hits per language, argmax wins, ties/zero → 'nolang'.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "und", "die", "nicht", "ist"),
+    "fr": ("le", "les", "des", "est", "une"),
+    "es": ("el", "los", "que", "es", "una"),
+}
+
+
+def lang_score(text: Column, lang: str) -> Column:
+    """Count of marker-word hits for ``lang`` (builtin expressions only,
+    1:1 expressible in ANSI SQL — see :func:`lang_score_sql`)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    score = F.lit(0)
+    for w in LANG_MARKERS[lang]:
+        token = f" {w} "
+        # occurrence count via length difference after plain replace
+        score = score + (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(token), F.lit(""))))
+            / F.lit(len(token))
+        ).cast("int")
+    return score
+
+
+def lang_score_sql(text_expr: str, lang: str) -> str:
+    """ANSI-SQL text matching :func:`lang_score` for the DuckDB oracle."""
+    padded = f"(' ' || lower({text_expr}) || ' ')"
+    terms = [
+        f"cast((length({padded}) - length(replace({padded}, ' {w} ', ''))) / {len(w) + 2} as int)"
+        for w in LANG_MARKERS[lang]
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over language scores; 'nolang' when all zero.
+
+    Pure built-in expressions → whole-stage codegen, and expressible in
+    ANSI SQL for the DuckDB oracle.
+    """
+    scores = {lang: lang_score(text, lang) for lang in LANG_MARKERS}
+    best = None
+    for col in scores.values():
+        best = col if best is None else F.greatest(best, col)
+    out = F.lit("nolang")
+    # Iterate in fixed order so ties break deterministically (first lang wins).
+    for lang in reversed(list(LANG_MARKERS)):
+        out = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+# --- quality scoring ------------------------------------------------------
+
+
+def word_count(text: Column) -> Column:
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation-ratio / stopword-ratio features (builtin only)."""
+    n_chars = F.length(text)
+    n_words = word_count(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
+    n_stop = lang_score(text, "en")
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_words": n_words.cast("long"),
+        "punct_ratio": (n_punct.cast("double") / n_chars.cast("double")),
+        "stopword_ratio": (n_stop.cast("double") / n_words.cast("double")),
+        "mean_word_len": (n_chars.cast("double") / n_words.cast("double")),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality in [0,1]: rewards stopword density and sane word
+    lengths, penalizes punctuation soup. Deterministic, SQL-expressible."""
+    f = quality_features(text)
+    stop_term = F.least(f["stopword_ratio"] * 4, F.lit(1.0))
+    len_term = F.when(
+        (f["mean_word_len"] >= 3) & (f["mean_word_len"] <= 10), F.lit(1.0)
+    ).otherwise(F.lit(0.3))
+    punct_term = F.greatest(F.lit(0.0), F.lit(1.0) - f["punct_ratio"] * 5)
+    return (stop_term * 0.4 + len_term * 0.3 + punct_term * 0.3).cast("double")
+
+
+# --- token counting -------------------------------------------------------
+
+# BPE-ish pre-tokenizer regex (GPT-2 style, simplified): words, numbers,
+# punctuation runs — a stable proxy for subword token counts.
+_BPEISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return word_count(text).cast("long")
+
+
+@F.pandas_udf(T.LongType())
+def token_count_bpeish(texts: pd.Series) -> pd.Series:
+    """BPE-ish token count via precompiled regex (vectorized)."""
+    pat = re.compile(_BPEISH)
+    return texts.map(lambda t: len(pat.findall(t)) if t is not None else 0)
+
+
+# --- document fingerprinting (rolling polynomial hash) --------------------
+
+_FP_BASE = 1000003
+_FP_MOD = (1 << 61) - 1
+
+
+def _fingerprint_one(t: str | None) -> int | None:
+    if t is None:
+        return None
+    h = 0
+    for b in t.encode("utf-8"):
+        h = (h * _FP_BASE + b) % _FP_MOD
+    return h
+
+
+@F.pandas_udf(T.LongType())
+def fingerprint(texts: pd.Series) -> pd.Series:
+    """Rolling polynomial hash of the full text (mod 2^61-1)."""
+    return texts.map(_fingerprint_one)

@@ -1,0 +1,211 @@
+"""The claim operator — SURVEY.md §2.7, the heart of the reference server.
+
+Reference semantics (models.py:105-131, main.py:533-598): per HTTP request,
+atomically pick ONE random open job under ``FOR UPDATE SKIP LOCKED``,
+stamp the worker token, re-fetch by token. ``ORDER BY RANDOM() LIMIT 1``
+is a full scan + sort per claim — the known scalability sin
+(SURVEY.md §4).
+
+Spark inversion: a *batch claim per scheduling round* under snapshot
+isolation. Randomness → seeded hashing (deterministic at any parallelism);
+row locks → single-writer round commit (sources/checkpoint.py); politeness
+= per-host claim budget from the robots dim table.
+
+Skew story (the part that must survive 100 TB): hot hosts concentrate
+frontier rows, so a naive ``Window.partitionBy(host)`` puts a whole hot
+host in one task. We rank in two phases:
+
+1. salt: ``bucket = pmod(xxhash64(number, seed), S)`` → rank per
+   ``(host, bucket)`` and keep only ``budget`` candidates per bucket —
+   bounded work per task regardless of host size;
+2. re-rank the surviving ≤ S*budget candidates per host and keep
+   ``budget``.
+
+Phase 2's input is tiny (budget*S rows per host), so its per-host window
+is safe. The result is exactly the global per-host top-``budget`` by
+``(priority DESC, order_key)`` — phase 1 can never drop a phase-2 winner
+because each bucket keeps ``budget`` rows and a host's top-``budget`` can
+occupy at most ``budget`` slots of any bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.urls import oracle_hash, seeded_hash64
+
+
+def open_jobs(frontier: DataFrame, stage: str = "cpu") -> Column:
+    """Boolean filter for claimable jobs (reference: main.py:386,607-609).
+
+    ``stage='cpu'`` ≈ CPU/HYBRID claim (gpu=false); ``'gpu'`` ≈ GPU claim.
+    """
+    want_gpu = stage == "gpu"
+    return (
+        (~F.col("pending")) & (~F.col("closed")) & (F.col("gpu") == F.lit(want_gpu))
+    )
+
+
+def order_key(seed: int, use_oracle_hash: bool = False) -> Column:
+    """Deterministic stand-in for ORDER BY RANDOM() (models.py:112,127)."""
+    if use_oracle_hash:
+        return oracle_hash(F.col("number"), seed)
+    return seeded_hash64(F.col("number"), seed=seed)
+
+
+def claim_batch(
+    frontier: DataFrame,
+    robots: DataFrame | None = None,
+    *,
+    seed: int = 0,
+    stage: str = "cpu",
+    default_budget: int = 4,
+    salt_buckets: int = 8,
+    host_col: str = "host",
+    use_oracle_hash: bool = False,
+    with_payload: bool = True,
+) -> DataFrame:
+    """Select this round's claims: per-host politeness-budgeted top-k.
+
+    Returns the claimed subset of ``frontier`` columns plus
+    ``order_key`` and ``budget``. Pure transformation — committing the
+    claims (pending=true etc.) is :func:`apply_claims`.
+
+    Precondition: ``number`` is unique (it is the reference's PK,
+    models.py:14; sources/seed.dedup_by_number enforces it at load).
+
+    Shuffle hygiene: the two rank phases run over a NARROW projection
+    (number, host, priority, order_key, salt, budget ≈ 40 B/row) — the
+    frontier's wide payload (urls, completor tokens, …) never rides the
+    sort-shuffles; winners join it back at the end, where AQE broadcasts
+    the (budget-bounded, small) winner set. At 10^10 rows this is the
+    difference between shuffling ~400 GB and ~4 TB per round.
+
+    Note on Spark's own top-k pushdown: with a LITERAL budget Catalyst
+    plans a partial WindowGroupLimit before the exchange (map-side
+    per-host top-k), which already bounds skew; the explicit salt phase
+    is what keeps the bound when the budget is a per-host COLUMN from
+    the robots table, where WindowGroupLimit cannot apply.
+    """
+    ok = order_key(seed, use_oracle_hash)
+    cand = frontier.filter(open_jobs(frontier, stage))
+    # Rank over a numeric host key, not the host string: the window
+    # sort comparator then touches only fixed-width numerics (Tungsten
+    # radix-friendly); the string rides along as payload. 64-bit hash
+    # collisions would merely merge two hosts' budgets (P ≈ n²/2⁶⁵).
+    narrow = (
+        cand.select("number", host_col, "priority")
+        .withColumn("order_key", ok)
+        .withColumn("host_key", seeded_hash64(F.col(host_col)))
+    )
+
+    budget_is_literal = robots is None
+    if robots is not None:
+        # Politeness dim table is small (one row per host) → broadcast.
+        narrow = narrow.join(
+            F.broadcast(robots.select("host", "max_claims_per_round")),
+            on="host",
+            how="left",
+        ).withColumn(
+            "budget", F.coalesce(F.col("max_claims_per_round"), F.lit(default_budget))
+        ).drop("max_claims_per_round")
+    else:
+        narrow = narrow.withColumn("budget", F.lit(default_budget))
+
+    order = (F.desc("priority"), F.asc("order_key"), F.asc("number"))
+    w_host = Window.partitionBy("host_key").orderBy(*order)
+
+    if budget_is_literal:
+        # Literal budget → Catalyst plans a partial WindowGroupLimit
+        # (map-side per-host top-k BEFORE the exchange), which already
+        # bounds hot-host shuffle volume; salting would only add a second
+        # sort. One window, skew-safe.
+        winners = (
+            narrow.withColumn("rn", F.row_number().over(w_host))
+            .filter(F.col("rn") <= F.lit(default_budget))
+            .drop("rn")
+        )
+    else:
+        # Per-host column budget → no WindowGroupLimit pushdown possible;
+        # bound hot hosts explicitly with the salted two-phase rank.
+        salted = narrow.withColumn(
+            "salt",
+            F.pmod(seeded_hash64(F.col("number"), seed=seed + 1), F.lit(salt_buckets)),
+        )
+        w1 = Window.partitionBy("host_key", "salt").orderBy(*order)
+        pre = (
+            salted.withColumn("rn1", F.row_number().over(w1))
+            .filter(F.col("rn1") <= F.col("budget"))
+            .drop("rn1", "salt")
+        )
+        # Phase 2: exact per-host top-budget over the small candidate set.
+        winners = (
+            pre.withColumn("rn", F.row_number().over(w_host))
+            .filter(F.col("rn") <= F.col("budget"))
+            .drop("rn")
+        )
+    winners = winners.drop("host_key")
+
+    # The scheduling decision is the narrow winner set; downstream merges
+    # (apply_claims) join on `number` anyway. Re-attach the wide payload
+    # only when the caller emits job specs to workers — winners are
+    # politeness-bounded (≤ Σ host budgets), so broadcast them and stream
+    # the big side instead of shuffling it.
+    payload_cols = [c for c in frontier.columns if c not in ("number", host_col, "priority")]
+    if not with_payload or not payload_cols:
+        return winners
+    return F.broadcast(winners).join(
+        cand.select("number", *payload_cols), on="number", how="inner"
+    ).select(*frontier.columns, "order_key", "budget")
+
+
+def assign_workers(
+    claims: DataFrame,
+    workers: DataFrame,
+    *,
+    worker_type: str = "CPU",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic round-robin claim→worker assignment.
+
+    Replaces the reference's token-stamping re-fetch trick
+    (main.py:554-566): worker = ``pmod(hash(number), n_workers)`` against a
+    rank-indexed (broadcast) worker list.
+    """
+    eligible = workers.filter(F.col("type") == worker_type).select("uuid")
+    w = Window.orderBy("uuid")
+    indexed = eligible.withColumn("widx", F.row_number().over(w) - 1)
+    n = indexed.count()
+    if n == 0:
+        return claims.withColumn("assigned_worker", F.lit(None).cast("string"))
+    return claims.withColumn(
+        "widx", F.pmod(seeded_hash64(F.col("number"), seed=seed + 2), F.lit(n))
+    ).join(F.broadcast(indexed), on="widx", how="left").drop("widx").withColumnRenamed(
+        "uuid", "assigned_worker"
+    )
+
+
+def apply_claims(
+    frontier: DataFrame, claims: DataFrame, *, round_epoch: int
+) -> DataFrame:
+    """Commit claims into the frontier snapshot: ``pending=true``,
+    ``completor=assigned worker``, ``claim_epoch=round`` (reference UPDATE
+    in models.py:105-131 re-expressed as a columnar merge)."""
+    probe = claims.select(
+        F.col("number").alias("c_number"),
+        F.coalesce(F.col("assigned_worker"), F.lit("claimed")).alias("c_worker")
+        if "assigned_worker" in claims.columns
+        else F.lit("claimed").alias("c_worker"),
+    )
+    hit = F.col("c_number").isNotNull()
+    return (
+        frontier.join(probe, frontier["number"] == probe["c_number"], "left")
+        .select(
+            *[c for c in frontier.columns if c not in ("pending", "completor", "claim_epoch")],
+            F.when(hit, F.lit(True)).otherwise(F.col("pending")).alias("pending"),
+            F.when(hit, F.col("c_worker")).otherwise(F.col("completor")).alias("completor"),
+            F.when(hit, F.lit(round_epoch)).otherwise(F.col("claim_epoch")).alias("claim_epoch"),
+        )
+        .select(*frontier.columns)
+    )

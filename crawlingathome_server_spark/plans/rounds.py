@@ -1,0 +1,209 @@
+"""Round-based scheduler engine + the flagship frontier-expansion query.
+
+Design stance (SURVEY.md §7): the reference's request/response loop
+(one HTTP call = one row mutation under a row lock) inverts into
+deterministic *rounds*: round k is one Spark job over snapshot S_k that
+applies, in order, the same transitions the server applies per-request —
+release stale claims, apply completions, reap idle workers, claim a new
+batch, refresh leaderboards/stats — and commits S_{k+1}. All randomness
+is seeded hashing, so the claim sequence is identical at any parallelism
+(the two-cluster-size scaling criterion) and across resume.
+
+The flagship query (``expand_frontier``) is the crawl data path: given
+crawled pages, which URLs does the crawler fetch next round? pages →
+canonicalize+hash (F9) → exact dedup (D1) → URL-seen filter (D2) →
+robots/politeness join (J1) → per-host budgeted claim (§2.7).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.urls import canonicalize_url, host_of, seeded_hash64
+from ..operators import aggregates as agg
+from ..operators import claim as claim_op
+from ..operators import transitions as tr
+from ..operators import urlseen
+from ..sources.checkpoint import CheckpointStore
+
+
+def expand_frontier(
+    pages: DataFrame,
+    robots: DataFrame | None,
+    seen_urls: DataFrame | None = None,
+    *,
+    seed: int = 42,
+    default_budget: int = 4,
+    salt_buckets: int = 8,
+    use_bloom: bool = False,
+) -> DataFrame:
+    """The flagship query: next round's fetch set from crawled pages.
+
+    Steps (all JVM-side except the canonicalize pandas UDF):
+      1. canonicalize + hash each discovered URL (F9);
+      2. dedup exact on canonical form (D1) — first-wins by warc_ts;
+      3. drop already-seen URLs (D2: bloom ``maybe_seen`` at scale or
+         exact anti-join);
+      4. per-host politeness claim: priority = recency hash, budget from
+         robots (broadcast), salted two-phase window rank (§2.7).
+
+    Returns (url, canon_url, host, url_hash, priority, order_key, budget).
+    """
+    canon = (
+        pages.select("url", "warc_ts")
+        .withColumn("canon_url", canonicalize_url(F.col("url")))
+        .withColumn("host", host_of(F.col("canon_url")))
+        .withColumn("url_hash", seeded_hash64(F.col("canon_url"), seed=0))
+    )
+    # D1: exact dedup, deterministic first-wins (earliest warc_ts, then url)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("canon_url").orderBy(F.asc("warc_ts"), F.asc("url"))
+    deduped = (
+        canon.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    if seen_urls is not None:
+        if use_bloom:
+            flt = urlseen.build_seen_filter(
+                urlseen.hash_urls(seen_urls.select("canon_url"))
+            )
+            deduped = urlseen.probe_seen_filter(deduped, flt).filter(~F.col("maybe_seen"))
+        else:
+            deduped = urlseen.unseen_exact(deduped, seen_urls)
+
+    # politeness claim: rank within host by priority (hash of url) —
+    # reuse the §2.7 operator with url_hash standing in for `number`.
+    cand = deduped.withColumn(
+        "number", F.col("url_hash")
+    ).withColumn("priority", (F.pmod(F.col("url_hash"), F.lit(1000)) / 1000.0)).withColumn(
+        "pending", F.lit(False)
+    ).withColumn("closed", F.lit(False)).withColumn("gpu", F.lit(False))
+    claimed = claim_op.claim_batch(
+        cand,
+        robots,
+        seed=seed,
+        stage="cpu",
+        default_budget=default_budget,
+        salt_buckets=salt_buckets,
+    )
+    return claimed.select(
+        "url", "canon_url", "host", "url_hash", "priority", "order_key", "budget"
+    )
+
+
+@dataclass
+class RoundResult:
+    snapshot_id: int
+    n_claims: int
+    n_completed: int
+    n_reaped: int
+    stats: dict[str, Any] = field(default_factory=dict)
+
+
+class RoundEngine:
+    """Drives frontier snapshots through scheduling rounds (E1+E2+E3)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: CheckpointStore,
+        *,
+        seed: int = 42,
+        host_default_budget: int = 4,
+    ):
+        self.spark = spark
+        self.store = store
+        self.seed = seed
+        self.host_default_budget = host_default_budget
+
+    def bootstrap(
+        self,
+        frontier: DataFrame,
+        workers: DataFrame,
+        leaderboard: DataFrame | None = None,
+        *,
+        round_epoch: int = 0,
+    ) -> int:
+        from .. import schemas
+
+        lb = leaderboard
+        if lb is None:
+            lb = self.spark.createDataFrame([], schema=schemas.LEADERBOARD)
+        return self.store.commit(
+            {"frontier": frontier, "workers": workers, "leaderboard": lb},
+            seed=self.seed,
+            round_epoch=round_epoch,
+        )
+
+    def run_round(
+        self,
+        *,
+        round_epoch: int,
+        completions: DataFrame | None = None,
+        heartbeats: DataFrame | None = None,
+        robots: DataFrame | None = None,
+        stage: str = "cpu",
+        worker_type: str = "CPU",
+    ) -> RoundResult:
+        """One deterministic round: S_k → S_{k+1}.
+
+        Order mirrors the per-request server: completions first
+        (main.py:627-697), then reaper (main.py:748-759), then claims
+        (main.py:533-598), then leaderboard/stats (E3).
+        """
+        spark, seed = self.spark, self.seed
+        frontier = self.store.read(spark, "frontier")
+        workers = self.store.read(spark, "workers")
+        leaderboard = self.store.read(spark, "leaderboard")
+
+        n_completed = 0
+        if completions is not None:
+            completions = completions.cache()
+            n_completed = completions.count()
+            frontier = tr.complete_jobs(frontier, completions)
+            leaderboard = agg.leaderboard_merge(leaderboard, completions)
+            workers = agg.worker_counters_merge(workers, completions)
+        if heartbeats is not None:
+            workers = tr.heartbeat(workers, heartbeats)
+
+        n_before = workers.count()
+        frontier, workers = tr.reap_idle(frontier, workers, round_epoch)
+        workers = workers.cache()
+        n_reaped = n_before - workers.count()
+
+        claims = claim_op.claim_batch(
+            frontier,
+            robots,
+            seed=seed + round_epoch,  # fresh deterministic order each round
+            stage=stage,
+            default_budget=self.host_default_budget,
+        )
+        claims = claim_op.assign_workers(claims, workers, worker_type=worker_type, seed=seed)
+        claims = claims.cache()
+        n_claims = claims.count()
+        frontier = claim_op.apply_claims(frontier, claims, round_epoch=round_epoch)
+
+        stats_row = agg.frontier_stats(frontier).collect()[0].asDict()
+        snap = self.store.commit(
+            {"frontier": frontier, "workers": workers, "leaderboard": leaderboard},
+            seed=seed,
+            round_epoch=round_epoch,
+            counters={
+                "n_claims": n_claims,
+                "n_completed": n_completed,
+                "n_reaped": n_reaped,
+                **stats_row,
+            },
+        )
+        claims.unpersist()
+        workers.unpersist()
+        if completions is not None:
+            completions.unpersist()
+        return RoundResult(snap, n_claims, n_completed, n_reaped, stats_row)

@@ -1,0 +1,64 @@
+"""Seed loading (SURVEY.md §2.1 S1/S2, §2.6 D1/D3, §2.9 F1/F2).
+
+The reference bulk-loads JSON shard lists (update_db.py:31-41), derives
+shard numbers arithmetically (update_db.py:12-16), prefixes the download
+directory (update_db.py:46), dedups by number with a python set
+(update_db.py:98-105), unions open/closed/open_gpu partitions
+(update_db.py:44-96) and bulk-inserts sorted by number (update_db.py:107,111).
+
+Spark-first: three DataFrames with literal status columns unioned, the
+number derivation as a codegen'd expression, dedup as dropDuplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shard_number(end_id: F.Column, shard_of_chunk: F.Column) -> F.Column:
+    """``(end_id/1e6)*2 − (shard==0)`` — reference update_db.py:12-16."""
+    return (
+        (end_id.cast("long") / F.lit(1_000_000)).cast("long") * 2
+        - F.when(shard_of_chunk == 0, 1).otherwise(0)
+    ).cast("long")
+
+
+def full_url(directory: str, path: F.Column) -> F.Column:
+    """``directory + data['url']`` — reference update_db.py:46."""
+    return F.concat(F.lit(directory), path)
+
+
+def union_seed_partitions(
+    open_df: DataFrame, closed_df: DataFrame, open_gpu_df: DataFrame
+) -> DataFrame:
+    """D3: open/closed/open_gpu lists → one frontier with status flags."""
+    o = open_df.withColumns(
+        {"pending": F.lit(False), "closed": F.lit(False), "gpu": F.lit(False)}
+    )
+    c = closed_df.withColumns(
+        {"pending": F.lit(False), "closed": F.lit(True), "gpu": F.lit(False)}
+    )
+    g = open_gpu_df.withColumns(
+        {"pending": F.lit(False), "closed": F.lit(False), "gpu": F.lit(True)}
+    )
+    return o.unionByName(c, allowMissingColumns=True).unionByName(
+        g, allowMissingColumns=True
+    )
+
+
+def dedup_by_number(frontier: DataFrame) -> DataFrame:
+    """D1: first-wins dedup on shard number (update_db.py:98-105).
+
+    'First' is made deterministic: keep the lexicographically smallest
+    url per number (the reference's set-based order was insertion order,
+    which Spark must not depend on).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("number").orderBy(F.asc("url"))
+    return (
+        frontier.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

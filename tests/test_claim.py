@@ -1,0 +1,98 @@
+"""Claim-operator properties (SURVEY.md §2.7): politeness budget, no
+double claims, determinism across parallelism, two-phase == one-phase."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from crawlingathome_server_spark import datagen
+from crawlingathome_server_spark.operators import claim
+from crawlingathome_server_spark.sources.seed import dedup_by_number
+
+
+def _frontier(spark, n, seed=11):
+    # claim_batch's contract: `number` is unique (the reference's PK;
+    # guaranteed by dedup_by_number at seed load)
+    return dedup_by_number(datagen.frontier(spark, n=n, seed=seed))
+
+
+def test_budget_respected_per_host(spark):
+    fr = _frontier(spark, 800)
+    rb = datagen.robots(spark)
+    claims = claim.claim_batch(fr, rb, seed=1)
+    per_host = claims.groupBy("host", "budget").agg(F.count("*").alias("n")).collect()
+    for r in per_host:
+        assert r["n"] <= r["budget"], r
+
+
+def test_only_open_jobs_claimed(spark):
+    fr = _frontier(spark, 800)
+    claims = claim.claim_batch(fr, None, seed=1)
+    bad = claims.filter(F.col("pending") | F.col("closed") | F.col("gpu")).count()
+    assert bad == 0
+
+
+def test_claims_unique(spark):
+    fr = datagen.frontier(spark, n=800)
+    claims = claim.claim_batch(dedup_by_number(fr), None, seed=1)
+    assert claims.count() == claims.select("number").distinct().count()
+
+
+def test_deterministic_across_parallelism(spark):
+    """Same claims whether the frontier arrives in 1 or 13 partitions —
+    the scaling-rule reproducibility property."""
+    fr = _frontier(spark, 600)
+    a = sorted(
+        r["number"]
+        for r in claim.claim_batch(fr.repartition(1), None, seed=7).collect()
+    )
+    b = sorted(
+        r["number"]
+        for r in claim.claim_batch(fr.repartition(13), None, seed=7).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_two_phase_equals_global_rank(spark):
+    """Salted two-phase claim == naive global per-host window rank."""
+    fr = _frontier(spark, 1000)
+    rb = datagen.robots(spark)
+    got = sorted(
+        r["number"] for r in claim.claim_batch(fr, rb, seed=3, salt_buckets=16).collect()
+    )
+    # naive single-window spec
+    cand = fr.filter(claim.open_jobs(fr)).withColumn("order_key", claim.order_key(3))
+    cand = cand.join(
+        F.broadcast(rb.select("host", "max_claims_per_round")), on="host", how="left"
+    ).withColumn("budget", F.coalesce(F.col("max_claims_per_round"), F.lit(4)))
+    w = Window.partitionBy("host").orderBy(
+        F.desc("priority"), F.asc("order_key"), F.asc("number")
+    )
+    want = sorted(
+        r["number"]
+        for r in cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("budget"))
+        .collect()
+    )
+    assert got == want
+
+
+def test_seed_changes_selection(spark):
+    # constant priority → order is purely the seeded hash (the ORDER BY
+    # RANDOM() analogue, models.py:112); a different seed reshuffles it
+    fr = _frontier(spark, 600).withColumn("priority", F.lit(0.0))
+    a = sorted(r["number"] for r in claim.claim_batch(fr, None, seed=1, default_budget=2).collect())
+    b = sorted(r["number"] for r in claim.claim_batch(fr, None, seed=2, default_budget=2).collect())
+    assert a != b
+
+
+def test_apply_claims_marks_pending(spark):
+    fr = _frontier(spark, 400)
+    claims = claim.claim_batch(fr, None, seed=1)
+    wk = datagen.workers(spark)
+    claims = claim.assign_workers(claims, wk, worker_type="CPU", seed=1)
+    fr2 = claim.apply_claims(fr, claims, round_epoch=99)
+    n_claims = claims.count()
+    assert fr2.filter("pending").count() == fr.filter("pending").count() + n_claims
+    stamped = fr2.filter(F.col("claim_epoch") == 99)
+    assert stamped.count() == n_claims
+    assert stamped.filter(F.col("completor").isNull()).count() == 0

@@ -1,0 +1,171 @@
+"""Dedup suite + similarity search tests with planted duplicates."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from crawlingathome_server_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """80 base docs + planted exact dups + planted near-dups."""
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(120)]
+    rows = []
+    for i in range(80):
+        words = [vocab[j] for j in rng.randint(0, 120, 40)]
+        rows.append((i, " ".join(words)))
+    # exact dups: 100..104 copy 0..4
+    for i in range(5):
+        rows.append((100 + i, rows[i][1]))
+    # near dups: 200..204 = docs 10..14 with 2 words changed
+    for i in range(5):
+        words = rows[10 + i][1].split()
+        words[3], words[17] = "zzz", "qqq"
+        rows.append((200 + i, " ".join(words)))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup_finds_planted(spark, docs):
+    out = dedup.exact_dedup(docs).filter(F.col("n_copies") > 1).collect()
+    dup_keepers = sorted(r["keeper_doc_id"] for r in out)
+    assert dup_keepers == [0, 1, 2, 3, 4]
+    assert all(r["n_copies"] == 2 for r in out)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = dedup.minhash_dedup(docs, threshold=0.5).collect()
+    got = {(r["a"], r["b"]) for r in pairs} | {(r["b"], r["a"]) for r in pairs}
+    for i in range(5):
+        assert (10 + i, 200 + i) in got, f"near-dup pair {10+i}/{200+i} missed"
+    for i in range(5):
+        assert (i, 100 + i) in got, f"exact pair {i}/{100+i} missed"
+    # jaccard sanity: exact dups score 1.0
+    exact = [r for r in pairs if (r["a"], r["b"]) in {(i, 100 + i) for i in range(5)}
+             or (r["b"], r["a"]) in {(i, 100 + i) for i in range(5)}]
+    assert all(abs(r["jaccard"] - 1.0) < 1e-9 for r in exact)
+
+
+def test_minhash_no_false_positives_on_random_docs(spark, docs):
+    pairs = dedup.minhash_dedup(docs, threshold=0.5).collect()
+    planted = {(i, 100 + i) for i in range(5)} | {(10 + i, 200 + i) for i in range(5)}
+    for r in pairs:
+        key = (min(r["a"], r["b"]), max(r["a"], r["b"]))
+        assert key in planted, f"unexpected dup pair {key} (jaccard={r['jaccard']})"
+
+
+def test_simhash_finds_near_dups(spark, docs):
+    cands = dedup.simhash_candidates(docs, max_hamming=10).collect()
+    got = {(min(r["a"], r["b"]), max(r["a"], r["b"])) for r in cands}
+    for i in range(5):
+        assert (i, 100 + i) in got  # exact dups: hamming 0
+    hamming0 = [r for r in cands if r["hamming"] == 0]
+    assert len(hamming0) >= 5
+
+
+def test_ngram_jaccard_on_candidates(spark, docs):
+    pairs = spark.createDataFrame(
+        [(0, 100), (10, 200), (0, 50)], ["a", "b"]
+    )
+    out = {(r["a"], r["b"]): r["ngram_jaccard"] for r in
+           dedup.ngram_jaccard_pairs(docs, pairs).collect()}
+    assert abs(out[(0, 100)] - 1.0) < 1e-9  # exact copy
+    assert 0.5 < out[(10, 200)] < 1.0  # near dup
+    assert out[(0, 50)] < 0.2  # unrelated
+
+
+def test_signatures_deterministic_across_partitioning(spark, docs):
+    s1 = {r["doc_id"]: r["signature"] for r in
+          dedup.minhash_signatures(docs.repartition(1)).collect()}
+    s2 = {r["doc_id"]: r["signature"] for r in
+          dedup.minhash_signatures(docs.repartition(7)).collect()}
+    assert s1 == s2
+
+
+# --- similarity ------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(9)
+    base = rng.standard_normal((60, 16)).astype(np.float32)
+    # planted near-identical pairs: 100+i ≈ i
+    near = base[:5] + rng.standard_normal((5, 16)).astype(np.float32) * 0.01
+    rows = [(i, base[i].tolist()) for i in range(60)]
+    rows += [(100 + i, near[i].tolist()) for i in range(5)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_brute_force_topk(spark, vectors):
+    probes = vectors.filter(F.col("vec_id") >= 100)
+    out = similarity.brute_force_topk(vectors, probes, k=1).collect()
+    for r in out:
+        assert r["cand_id"] == r["probe_id"] - 100
+        assert r["cosine_sim"] > 0.99
+
+
+def test_lsh_topk_recall_on_planted(spark, vectors):
+    probes = vectors.filter(F.col("vec_id") >= 100)
+    out = similarity.lsh_topk(vectors, probes, dim=16, k=1, n_planes=16, n_bands=8)
+    got = {r["probe_id"]: r["cand_id"] for r in out.collect()}
+    hits = sum(got.get(100 + i) == i for i in range(5))
+    assert hits >= 4, f"LSH recall too low: {hits}/5"
+
+
+def test_cosine_near_dup_pairs(spark, vectors):
+    pairs = similarity.cosine_near_dup_pairs(
+        vectors, dim=16, threshold=0.99, n_planes=16, n_bands=8
+    ).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    found = sum(((i, 100 + i) in got or (100 + i, i) in got) for i in range(5))
+    assert found >= 4
+
+
+def test_lsh_is_subset_quality_vs_brute_force(spark, vectors):
+    """LSH top-1 cosine ≤ brute-force top-1 cosine (it's approximate),
+    and within a reasonable margin on this data."""
+    probes = vectors.filter(F.col("vec_id") >= 100)
+    bf = {r["probe_id"]: r["cosine_sim"] for r in
+          similarity.brute_force_topk(vectors, probes, k=1).collect()}
+    lsh = {r["probe_id"]: r["cosine_sim"] for r in
+           similarity.lsh_topk(vectors, probes, dim=16, k=1, n_planes=16, n_bands=8).collect()}
+    for pid, sim in lsh.items():
+        assert sim <= bf[pid] + 1e-9
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+def test_multimodal_image_features(spark):
+    media = multimodal.gen_media(spark, n=60)
+    feats = multimodal.decode_image_features(media, dim=8, fake=True)
+    rows = feats.collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(rows) == n_images
+    assert all(len(r["features"]) == 8 for r in rows)
+    # deterministic: same payload → same features
+    again = {r["media_id"]: r["features"] for r in
+             multimodal.decode_image_features(media.repartition(5), dim=8, fake=True).collect()}
+    for r in rows:
+        assert again[r["media_id"]] == r["features"]
+
+
+def test_multimodal_real_mode_raises(spark):
+    media = multimodal.gen_media(spark, n=10)
+    with pytest.raises(Exception) as exc_info:
+        multimodal.decode_image_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or "real image decoding" in str(
+        exc_info.value
+    )
+
+
+def test_multimodal_frame_sampling(spark):
+    media = multimodal.gen_media(spark, n=60)
+    frames = multimodal.sample_video_frames(media, every_ms=1000, fake=True)
+    pdf = frames.toPandas()
+    vids = media.filter("kind = 'video'").select("media_id", "duration_ms").collect()
+    for r in vids:
+        n = max(1, r["duration_ms"] // 1000)
+        assert (pdf["media_id"] == r["media_id"]).sum() == n

@@ -1,0 +1,113 @@
+"""F9/F10 + webtext function tests: canonicalization, byte-identical
+extraction (BASELINE.json per-row invariant), langid, tokens, fingerprint."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from crawlingathome_server_spark import datagen
+from crawlingathome_server_spark.functions import text as tx
+from crawlingathome_server_spark.functions.urls import (
+    _canon_one,
+    canonicalize_url,
+    canonicalize_url_expr,
+)
+
+
+def test_canonicalize_cases():
+    cases = {
+        "HTTP://WWW.Example.COM:80/a/b?z=1&a=2#frag": "http://www.example.com/a/b?a=2&z=1",
+        "https://example.com:443/": "https://example.com/",
+        "https://example.com:8443/x": "https://example.com:8443/x",
+        "http://example.com": "http://example.com/",
+        "http://example.com/a?": "http://example.com/a",
+    }
+    for raw, want in cases.items():
+        assert _canon_one(raw) == want, raw
+
+
+def test_canonicalize_udf_matches_pure(spark):
+    pages = datagen.pages(spark, seed=3, n=300)
+    got = (
+        pages.select("url", canonicalize_url(F.col("url")).alias("canon"))
+        .toPandas()
+    )
+    for _, r in got.iterrows():
+        assert r["canon"] == _canon_one(r["url"])
+
+
+def test_canonicalize_expr_agrees_on_simple_urls(spark):
+    # builtin-expression fast path: equal to the pandas path when query
+    # params are already sorted
+    df = spark.createDataFrame(
+        [("HTTP://Ex.COM:80/a?a=1&b=2#f",), ("https://ex.com:443/x?a=1",)], ["url"]
+    )
+    got = df.select(
+        canonicalize_url(F.col("url")).alias("py"),
+        canonicalize_url_expr(F.col("url")).alias("jvm"),
+    ).collect()
+    for r in got:
+        assert r["py"] == r["jvm"]
+
+
+def test_extract_text_byte_identical(spark):
+    """The north-rule invariant: extracted text per url is byte-identical
+    to the golden value (datagen embeds `text` into `html`)."""
+    pages = datagen.pages(spark, seed=7, n=400)
+    got = pages.select(
+        "url", "text", tx.extract_text(F.col("html")).alias("extracted")
+    ).collect()
+    assert len(got) == 400
+    # title is part of extraction; golden = "t{i} {text}" per the template
+    for r in got:
+        assert r["extracted"].split(" ", 1)[1] == r["text"]
+
+
+def test_extract_text_deterministic_rerun(spark):
+    pages = datagen.pages(spark, seed=7, n=100).repartition(7)
+    a = sorted(
+        r["e"] for r in pages.select(tx.extract_text(F.col("html")).alias("e")).collect()
+    )
+    b = sorted(
+        r["e"]
+        for r in pages.repartition(3)
+        .select(tx.extract_text(F.col("html")).alias("e"))
+        .collect()
+    )
+    assert a == b
+
+
+def test_lang_id_accuracy(spark):
+    """Heuristic language ID recovers the generator's language for the
+    4 marker languages (datagen draws words from per-language pools)."""
+    pages = datagen.pages(spark, seed=5, n=500)
+    got = (
+        pages.filter(F.col("lang") != "nolang")
+        .select("lang", tx.lang_id(F.col("text")).alias("pred"))
+        .collect()
+    )
+    acc = sum(r["lang"] == r["pred"] for r in got) / len(got)
+    assert acc > 0.95, f"langid accuracy {acc}"
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("hello world foo",), ("a,b c!",)], ["text"])
+    rows = df.select(
+        tx.token_count_ws(F.col("text")).alias("ws"),
+        tx.token_count_bpeish(F.col("text")).alias("bpe"),
+    ).collect()
+    assert rows[0]["ws"] == 3 and rows[0]["bpe"] == 3
+    assert rows[1]["ws"] == 2 and rows[1]["bpe"] == 5  # a , b c !
+
+
+def test_fingerprint_pure():
+    s = pd.Series(["abc", "abc", "abd", None])
+    out = tx.fingerprint.func(s)
+    assert out[0] == out[1]
+    assert out[0] != out[2]
+    assert pd.isna(out[3])
+
+
+def test_quality_score_ranges(spark):
+    pages = datagen.pages(spark, seed=9, n=200)
+    rows = pages.select(tx.quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)

@@ -1,0 +1,175 @@
+"""Round engine + checkpoint tests: snapshot lineage, exact resume,
+simulator-oracle equivalence of the claim sequence (SURVEY.md §5)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from crawlingathome_server_spark import datagen, schemas
+from crawlingathome_server_spark.operators import claim as claim_op
+from crawlingathome_server_spark.plans.rounds import RoundEngine, expand_frontier
+from crawlingathome_server_spark.simulator import SimJob, Simulator
+from crawlingathome_server_spark.sources.checkpoint import CheckpointStore
+from crawlingathome_server_spark.sources.seed import dedup_by_number
+
+
+def _engine(spark, tmp_path, n=300):
+    store = CheckpointStore(str(tmp_path / "store"), n_partitions=4)
+    eng = RoundEngine(spark, store, seed=5)
+    fr = dedup_by_number(datagen.frontier(spark, n=n))
+    wk = datagen.workers(spark)
+    eng.bootstrap(fr, wk, round_epoch=0)
+    return eng, store
+
+
+def test_checkpoint_roundtrip(spark, tmp_path):
+    store = CheckpointStore(str(tmp_path / "s"), n_partitions=4)
+    fr = dedup_by_number(datagen.frontier(spark, n=200))
+    sid = store.commit({"frontier": fr}, seed=1, round_epoch=0)
+    back = store.read(spark, "frontier", sid)
+    assert sorted(back.columns) == sorted(fr.columns)
+    assert back.count() == fr.count()
+    m = store.read_manifest(sid)
+    assert m["tables"]["frontier"]["total_rows"] == fr.count()
+    assert sum(m["tables"]["frontier"]["row_counts"].values()) == fr.count()
+
+
+def test_rounds_progress_and_lineage(spark, tmp_path):
+    eng, store = _engine(spark, tmp_path)
+    rb = datagen.robots(spark)
+    r1 = eng.run_round(round_epoch=1_600_100_000, robots=rb)
+    r2 = eng.run_round(round_epoch=1_600_101_000, robots=rb)
+    assert r1.n_claims > 0
+    lineage = store.lineage()
+    assert [m["snapshot_id"] for m in lineage] == [3, 2, 1]
+    assert lineage[0]["counters"]["n_claims"] == r2.n_claims
+    # pending monotonically grows while nothing completes
+    fr = store.read(spark, "frontier")
+    assert fr.filter("pending").count() >= r1.n_claims + r2.n_claims
+
+
+def test_resume_equals_uninterrupted(spark, tmp_path):
+    """North rule: resume from checkpoint ≡ uninterrupted run."""
+    rb = datagen.robots(spark)
+
+    eng_a, store_a = _engine(spark, tmp_path / "a")
+    for ep in (1, 2, 3):
+        eng_a.run_round(round_epoch=ep, robots=rb)
+
+    eng_b, store_b = _engine(spark, tmp_path / "b")
+    for ep in (1, 2):
+        eng_b.run_round(round_epoch=ep, robots=rb)
+    # simulate restart: fresh engine over the same store
+    eng_b2 = RoundEngine(spark, store_b, seed=5)
+    eng_b2.run_round(round_epoch=3, robots=rb)
+
+    def state(store):
+        fr = store.read(spark, "frontier")
+        return sorted(
+            (r["number"], r["pending"], r["closed"], r["gpu"], r["claim_epoch"])
+            for r in fr.collect()
+        )
+
+    assert state(store_a) == state(store_b)
+
+
+def test_claim_sequence_matches_simulator(spark, tmp_path):
+    """Crawl-ordering oracle: the Spark engine's claim set per round equals
+    the pure-Python reference simulator under the same seed list +
+    politeness budget (BASELINE.json correctness condition)."""
+    n = 400
+    fr_df = dedup_by_number(datagen.frontier(spark, n=n))
+    budgets_pdf = datagen.gen_robots_pdf()
+    budgets = dict(
+        zip(budgets_pdf["host"], (int(x) for x in budgets_pdf["max_claims_per_round"]))
+    )
+
+    sim = Simulator()
+    sim.add_jobs(
+        [
+            SimJob(
+                number=r["number"],
+                url=r["url"],
+                host=r["host"],
+                priority=r["priority"],
+                gpu=r["gpu"],
+                gpu_url=r["gpu_url"],
+                pending=r["pending"],
+                closed=r["closed"],
+            )
+            for r in fr_df.collect()
+        ]
+    )
+
+    rb = datagen.robots(spark)
+    fr = fr_df
+    for seed_round, epoch in ((11, 1), (12, 2)):
+        spark_claims = claim_op.claim_batch(
+            fr, rb, seed=seed_round, use_oracle_hash=True
+        )
+        got = sorted(r["number"] for r in spark_claims.collect())
+        want = sim.claim_round(seed=seed_round, round_epoch=epoch, budgets=budgets)
+        assert got == want, f"round {epoch}"
+        fr = claim_op.apply_claims(fr, spark_claims, round_epoch=epoch)
+
+        # complete half the claims in both worlds (hybrid path)
+        done = got[::2]
+        for number in done:
+            sim.complete(number, kind="hybrid", nickname="w", count=1)
+        comp_pdf = pd.DataFrame(
+            {
+                "number": done,
+                "worker_uuid": ["u"] * len(done),
+                "nickname": ["w"] * len(done),
+                "kind": ["hybrid"] * len(done),
+                "count": [1] * len(done),
+                "gpu_url": [None] * len(done),
+                "epoch": [epoch] * len(done),
+            }
+        )
+        from crawlingathome_server_spark.operators import transitions as tr
+
+        comps = spark.createDataFrame(comp_pdf, schema=schemas.COMPLETIONS)
+        fr = tr.complete_jobs(fr, comps)
+
+    # final states agree job-by-job
+    final = {r["number"]: (r["pending"], r["closed"], r["gpu"]) for r in fr.collect()}
+    for number, job in sim.jobs.items():
+        assert final[number] == (job.pending, job.closed, job.gpu), number
+
+    # URL-seen membership: claimed-or-closed sets agree
+    spark_seen = {
+        n_
+        for n_, (p, c, g) in final.items()
+        if p or c
+    }
+    assert spark_seen == {
+        n_ for n_, j in sim.jobs.items() if j.pending or j.closed
+    }
+
+
+def test_expand_frontier_dedups_and_budgets(spark):
+    pages = datagen.pages(spark, seed=31, n=1200)
+    rb = datagen.robots(spark)
+    out = expand_frontier(pages, rb, seed=1)
+    assert out.count() == out.select("canon_url").distinct().count()
+    per_host = out.groupBy("host", "budget").agg(F.count("*").alias("n")).collect()
+    for r in per_host:
+        assert r["n"] <= r["budget"]
+
+
+def test_expand_frontier_excludes_seen(spark):
+    pages = datagen.pages(spark, seed=33, n=600)
+    seen = pages.limit(300).select(
+        F.col("url")
+    )
+    from crawlingathome_server_spark.functions.urls import canonicalize_url
+
+    seen_canon = seen.select(canonicalize_url(F.col("url")).alias("canon_url"))
+    out_exact = expand_frontier(pages, None, seen_urls=seen_canon, seed=1)
+    out_bloom = expand_frontier(pages, None, seen_urls=seen_canon, seed=1, use_bloom=True)
+    seen_set = {r["canon_url"] for r in seen_canon.collect()}
+    assert not seen_set & {r["canon_url"] for r in out_exact.collect()}
+    # bloom has no false negatives → its output is a subset of exact
+    assert {r["canon_url"] for r in out_bloom.collect()} <= {
+        r["canon_url"] for r in out_exact.collect()
+    }
