@@ -645,6 +645,200 @@ def sim_knn(spark, sf_dir):
     )
 
 
+# --- A5 full ETA pipeline (interval deltas → sliding mean → eta) ----------
+
+
+@_q(
+    "a5_eta_estimate",
+    "WITH iv AS (SELECT cast(floor(epoch(ts) / 900) AS bigint) AS interval_idx, "
+    "count(*) AS n FROM events GROUP BY 1), "
+    "cum AS (SELECT interval_idx, sum(n) OVER (ORDER BY interval_idx) AS closed_cumulative "
+    "FROM iv) "
+    "SELECT interval_idx, round(avg(closed_cumulative - prev) OVER "
+    "(ORDER BY interval_idx ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) / 900.0, 9) AS jobs_per_s "
+    "FROM (SELECT interval_idx, closed_cumulative, "
+    "lag(closed_cumulative, 1) OVER (ORDER BY interval_idx) AS prev FROM cum)",
+)
+def a5_eta(spark, sf_dir):
+    """A5/T2 full ETA estimator: cumulative closed per 900 s interval,
+    lag-diff, 10-sample sliding mean → jobs/s (main.py:762-808)."""
+    e = _t(spark, sf_dir, "events")
+    iv = (
+        e.groupBy(
+            F.floor(F.unix_timestamp("ts") / 900).cast("long").alias("interval_idx")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_cum = Window.orderBy("interval_idx")
+    cum = iv.withColumn("closed_cumulative", F.sum("n").over(w_cum))
+    res = agg.eta_estimate(
+        cum.select(
+            F.col("interval_idx"),
+            F.col("interval_idx").alias("epoch"),
+            "closed_cumulative",
+        ).withColumn("remaining", F.lit(0)),
+    )
+    return res.select(
+        "interval_idx", F.round(F.col("jobs_per_s"), 9).alias("jobs_per_s")
+    )
+
+
+# --- S6: cache-freshness predicate over counters snapshot ------------------
+
+
+@_q(
+    "s6_counter_freshness",
+    "SELECT user_id AS key, max(cast(floor(epoch(ts)) AS bigint)) AS expires FROM events "
+    "GROUP BY user_id HAVING max(cast(floor(epoch(ts)) AS bigint)) > 1705500000",
+)
+def s6_freshness(spark, sf_dir):
+    """S6 Redis TTL semantics as freshness predicate (cache.py:22-39)."""
+    e = _t(spark, sf_dir, "events")
+    snap = e.groupBy(F.col("user_id").alias("key")).agg(
+        F.max(F.unix_timestamp("ts")).alias("expires")
+    )
+    from crawlingathome_server_spark.streaming.heartbeats import counters_snapshot
+
+    return counters_snapshot(snap, now_epoch=1705500000)
+
+
+# --- F9: URL canonicalization (pandas UDF; oracle via SQL string ops) ------
+
+
+@_q(
+    "f9_url_canonicalize",
+    "SELECT doc_id, 'http://' || lower(source) || '.example.com/doc/' || cast(doc_id AS varchar) "
+    "|| '?a=1&b=2' AS canon_url FROM documents",
+)
+def f9_canonicalize(spark, sf_dir):
+    """F9: canonicalize trapped URLs (mixed-case host+scheme, default
+    port, fragment, unsorted query) — the oracle states the expected
+    canonical form directly."""
+    from crawlingathome_server_spark.functions.urls import canonicalize_url
+
+    docs = _t(spark, sf_dir, "documents")
+    trapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://"),
+            F.upper(F.col("source")),
+            F.lit(".Example.com:80/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?b=2&a=1#frag"),
+        ).alias("url"),
+    )
+    return trapped.select("doc_id", canonicalize_url(F.col("url")).alias("canon_url"))
+
+
+# --- training-data ops without SQL oracles (rows-only driver check) --------
+
+
+@_q("dedup_minhash_lsh")
+def dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup pairs on documents (pytest covers planted-dup
+    recall; no ANSI-SQL oracle for SipHash minhash)."""
+    from crawlingathome_server_spark.operators.dedup import minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup(docs, threshold=0.5)
+
+
+@_q("dedup_simhash")
+def dedup_simhash(spark, sf_dir):
+    """SimHash hamming-distance near-dup candidates on documents."""
+    from crawlingathome_server_spark.operators.dedup import simhash_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_candidates(docs, max_hamming=10)
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    "WITH g AS (SELECT doc_id, list_distinct([lower(x) for x in "
+    "regexp_split_to_array(trim(text), '\\s+')]) AS grams FROM documents) "
+    "SELECT a.doc_id AS a, b.doc_id AS b, "
+    "round(cast(len(list_intersect(a.grams, b.grams)) AS double) / "
+    "len(list_distinct(list_concat(a.grams, b.grams))), 6) AS unigram_jaccard "
+    "FROM g a JOIN g b ON a.doc_id < b.doc_id AND a.doc_id < 20 AND b.doc_id < 20",
+)
+def dedup_ngram(spark, sf_dir):
+    """Word-set (1-gram) Jaccard over a bounded candidate set, pure
+    built-in array ops on both engines."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(F.split(F.trim("text"), r"\s+"), lambda x: F.lower(x))
+        ).alias("grams"),
+    )
+    a = grams.select(F.col("doc_id").alias("a"), F.col("grams").alias("grams_a"))
+    b = grams.select(F.col("doc_id").alias("b"), F.col("grams").alias("grams_b"))
+    j = a.join(b, a.a < b.b)
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size(F.array_union("grams_a", "grams_b"))
+    return j.select(
+        "a", "b", F.round(inter.cast("double") / union.cast("double"), 6).alias("unigram_jaccard")
+    )
+
+
+@_q("sim_ann_lsh")
+def sim_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate top-k (the at-scale ANN path; recall
+    checked in pytest against brute force, no SQL oracle)."""
+    from crawlingathome_server_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5)
+    return lsh_topk(e, probes, dim=64, k=10)
+
+
+@_q("urlseen_bloom_probe")
+def urlseen_bloom(spark, sf_dir):
+    """D2 partitioned-Bloom probe: which candidate docs are maybe-seen
+    (seen = even doc_ids). Pytest proves no-false-negatives + FPR."""
+    from crawlingathome_server_spark.operators import urlseen
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit("http://h/"), F.col("doc_id")).alias("canon_url")
+    )
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    flt = urlseen.build_seen_filter(urlseen.hash_urls(seen))
+    return urlseen.probe_seen_filter(urlseen.hash_urls(docs), flt).select(
+        "doc_id", "maybe_seen"
+    )
+
+
+@_q("t_fingerprint")
+def t_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprints (polynomial hash; pytest checks
+    purity/determinism)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@_q(
+    "t_token_count_bpeish",
+    "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) "
+    "AS n_tokens_bpeish FROM documents",
+)
+def t_token_bpeish(spark, sf_dir):
+    """BPE-ish token counting (regex pre-tokenizer, vectorized UDF)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", tx.token_count_bpeish(F.col("text")).alias("n_tokens_bpeish")
+    )
+
+
+@_q(
+    "t_quality_score",
+    None,  # composite double chain; float-rounding parity too brittle for hash compare
+)
+def t_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(tx.quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -44,6 +44,11 @@ def run_bench(spark, sf_dir: str) -> dict:
         "t_quality_features",
         "dedup_exact_hash",
         "sim_knn_cosine",
+        "sim_ann_lsh",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "a5_eta_estimate",
+        "t_token_count_bpeish",
     ]
     timings: dict[str, float] = {}
     for name in headline:

@@ -1,0 +1,80 @@
+"""spark-submit entry point (north rule: runs via ``spark-submit
+--py-files`` on a multi-executor cluster).
+
+    spark-submit --py-files crawlingathome_server_spark.zip \
+        -m crawlingathome_server_spark  (or this file's path) \
+        --store /path/to/store --rounds 3 --seed 42
+
+Bootstraps a synthetic frontier (or resumes from an existing store),
+runs scheduling rounds, prints per-round counters as JSON lines.
+On a cluster the ``--master`` / executor settings come from spark-submit;
+standalone invocation falls back to local mode via session.get_spark.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="crawlingathome_server_spark")
+    ap.add_argument("--store", required=True, help="checkpoint store root dir")
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--frontier-rows", type=int, default=10_000)
+    ap.add_argument("--budget", type=int, default=4)
+    ap.add_argument("--epoch0", type=int, default=1_600_100_000)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:  # under spark-submit
+        spark = active
+    else:
+        from .session import get_spark
+
+        spark = get_spark(app_name="cah-rounds")
+
+    from . import datagen
+    from .plans.rounds import RoundEngine
+    from .sources.checkpoint import CheckpointStore
+    from .sources.seed import dedup_by_number
+
+    store = CheckpointStore(args.store)
+    engine = RoundEngine(spark, store, seed=args.seed, host_default_budget=args.budget)
+
+    if store.latest_snapshot_id() is None:
+        frontier = dedup_by_number(datagen.frontier(spark, n=args.frontier_rows))
+        workers = datagen.workers(spark)
+        engine.bootstrap(frontier, workers, round_epoch=args.epoch0)
+        print(json.dumps({"event": "bootstrap", "snapshot": 1}))
+    else:
+        print(
+            json.dumps(
+                {"event": "resume", "snapshot": store.latest_snapshot_id()}
+            )
+        )
+
+    robots = datagen.robots(spark)
+    base = store.read_manifest(store.latest_snapshot_id())["round_epoch"]
+    for k in range(args.rounds):
+        res = engine.run_round(round_epoch=base + (k + 1) * 300, robots=robots)
+        print(
+            json.dumps(
+                {
+                    "event": "round",
+                    "snapshot": res.snapshot_id,
+                    "n_claims": res.n_claims,
+                    "n_reaped": res.n_reaped,
+                    **{k_: v for k_, v in res.stats.items()},
+                }
+            )
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

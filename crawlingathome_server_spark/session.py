@@ -46,6 +46,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
+        # Spark 4.1's checksummed streaming-checkpoint manager deadlocks on
+        # plain local FS (state-store delta file creation awaits forever);
+        # plain checkpoint files are fine for this engine's semantics.
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # Oracle parity: DuckDB arithmetic is non-ANSI-strict on our inputs;
         # we keep ANSI off so integer wrap/div semantics match classic SQL.

@@ -1,0 +1,117 @@
+"""Structured-Streaming variants of the daemon loops (T1/T2/T3)."""
+
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from crawlingathome_server_spark.streaming import heartbeats as hb
+
+
+def _beats_pdf(rows):
+    return pd.DataFrame(rows, columns=["uuid", "epoch", "progress", "shard_number"])
+
+
+def test_liveness_stream_tracks_and_reaps(spark, tmp_path):
+    src = tmp_path / "beats"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    pdf = _beats_pdf(
+        [
+            ("w1", 1000, "50%", 7),
+            ("w1", 1060, "60%", 7),
+            ("w2", 1000, "10%", None),
+        ]
+    )
+    spark.createDataFrame(pdf, schema=hb.HEARTBEAT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    q = hb.run_heartbeat_stream(
+        spark, str(src), ckpt, idle_timeout_s=2, query_name="liveness_t"
+    )
+
+    def wait_for(pred, timeout_s=120):
+        # NOTE: processAllAvailable() does not terminate under
+        # ProcessingTimeTimeout (timeout-firing batches keep scheduling);
+        # poll the memory sink with a deadline instead.
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM liveness_t").collect()
+            if pred(rows):
+                return rows
+            time.sleep(2)
+        raise AssertionError("condition not reached; rows=%s" % rows)
+
+    try:
+        out = wait_for(
+            lambda rows: {"w1", "w2"} <= {r["uuid"] for r in rows if r["event"] == "alive"}
+        )
+        alive = {r["uuid"]: r for r in out if r["event"] == "alive"}
+        assert alive["w1"]["n_beats"] == 2
+        assert alive["w1"]["last_seen"] == 1060
+        assert alive["w1"]["shard_number"] == 7
+        assert alive["w2"]["n_beats"] == 1
+
+        # the 2 s processing-time timeout then reaps both workers
+        out2 = wait_for(
+            lambda rows: {"w1", "w2"} <= {r["uuid"] for r in rows if r["event"] == "reaped"}
+        )
+        # reap carries the shard to release (U1 semantics)
+        w1_reap = [r for r in out2 if r["event"] == "reaped" and r["uuid"] == "w1"][0]
+        assert w1_reap["shard_number"] == 7
+    finally:
+        q.stop()
+
+
+def test_eta_stream_batch_semantics(spark):
+    """eta_stream logic on a bounded DF (streaming-agnostic agg)."""
+    rows = [(i, pd.Timestamp("2021-01-01 00:00:00") + pd.Timedelta(minutes=m),)
+            for i, m in enumerate(range(0, 300, 5))]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "ts"]))
+    out = hb.eta_stream(df, interval="15 minutes", window_len=10)
+    pdf = out.toPandas().sort_values("window_start")
+    assert (pdf["n_completed"] > 0).all()
+    # steady 1 completion / 5 min → full 150-min windows hold 30
+    assert pdf["n_completed"].max() == 30
+    full = pdf[pdf["n_completed"] == 30]
+    assert abs(full["jobs_per_s"].iloc[0] - 30 / 9000) < 1e-9
+
+
+def test_counters_freshness(spark):
+    from crawlingathome_server_spark import schemas
+
+    df = spark.createDataFrame(
+        [("pairs", 100, 1000), ("eta", 5, 2000)], schema=schemas.COUNTERS
+    )
+    fresh = hb.counters_snapshot(df, now_epoch=1500)
+    assert [r["key"] for r in fresh.collect()] == ["eta"]
+
+
+def test_eta_stream_in_streaming_mode(spark, tmp_path):
+    """The same window agg wired as an actual stream."""
+    src = tmp_path / "comp"
+    src.mkdir()
+    rows = [(i, pd.Timestamp("2021-01-01 00:00:00") + pd.Timedelta(minutes=5 * i))
+            for i in range(40)]
+    pdf = pd.DataFrame(rows, columns=["id", "ts"])
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema("id long, ts timestamp").parquet(str(src))
+    q = (
+        hb.eta_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("eta_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # append mode only emits windows the watermark has closed; the agg
+        # itself ran as a stream — presence of the query + no error is the
+        # wiring check, closed windows appear after enough event time
+        assert q.isActive
+    finally:
+        q.stop()
