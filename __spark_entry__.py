@@ -645,6 +645,210 @@ def sim_knn(spark, sf_dir):
     )
 
 
+# --- P6: existence probe ---------------------------------------------------
+
+
+@_q(
+    "p6_exists_probe",
+    "SELECT (EXISTS (SELECT 1 FROM orders WHERE o_orderkey = 42)) AS job_exists, "
+    "(EXISTS (SELECT 1 FROM orders WHERE o_orderkey = -1)) AS missing_exists",
+)
+def p6_exists(spark, sf_dir):
+    """P6 existence probe (Client.exists/Job.exists, main.py:520,475) —
+    set-at-once via conditional aggregation instead of limit-1 scans."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        (F.sum(F.when(F.col("o_orderkey") == 42, 1).otherwise(0)) > 0).alias("job_exists"),
+        (F.sum(F.when(F.col("o_orderkey") == -1, 1).otherwise(0)) > 0).alias(
+            "missing_exists"
+        ),
+    )
+
+
+# --- U1/U4/U5: claim release, admin batch done, gpu revert -----------------
+
+
+@_q(
+    "u1_release_claims",
+    "SELECT o.o_orderkey, "
+    "CASE WHEN p.o_orderkey IS NOT NULL AND o.o_orderstatus <> 'F' THEN 'O' "
+    "ELSE o.o_orderstatus END AS status_after "
+    "FROM orders o LEFT JOIN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P') p "
+    "ON o.o_orderkey = p.o_orderkey",
+)
+def u1_release(spark, sf_dir):
+    """U1 stale-claim release: pending→open unless closed
+    (main.py:545-552)."""
+    o = _t(spark, sf_dir, "orders")
+    probe = o.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_orderkey").alias("p_key")
+    )
+    j = o.join(probe, o.o_orderkey == probe.p_key, "left")
+    hit = F.col("p_key").isNotNull() & (F.col("o_orderstatus") != "F")
+    return j.select(
+        "o_orderkey", F.when(hit, "O").otherwise(F.col("o_orderstatus")).alias("status_after")
+    )
+
+
+@_q(
+    "u4_admin_batch_done",
+    "SELECT o.o_orderkey, "
+    "CASE WHEN p.o_orderkey IS NOT NULL THEN 'F' ELSE o.o_orderstatus END AS status_after, "
+    "CASE WHEN p.o_orderkey IS NOT NULL THEN concat('url-', cast(p.o_orderkey AS varchar)) "
+    "ELSE NULL END AS gpu_url "
+    "FROM orders o LEFT JOIN (SELECT o_orderkey FROM orders "
+    "WHERE o_orderkey % 97 = 0) p ON o.o_orderkey = p.o_orderkey",
+)
+def u4_admin_batch(spark, sf_dir):
+    """U4 admin batch markasdone with per-number url map — semi-join merge
+    replacing the reference's row-by-row loop (main.py:409-416)."""
+    o = _t(spark, sf_dir, "orders")
+    probe = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("p_key")
+    )
+    j = o.join(probe, o.o_orderkey == probe.p_key, "left")
+    hit = F.col("p_key").isNotNull()
+    return j.select(
+        "o_orderkey",
+        F.when(hit, "F").otherwise(F.col("o_orderstatus")).alias("status_after"),
+        F.when(hit, F.concat(F.lit("url-"), F.col("p_key").cast("string"))).alias("gpu_url"),
+    )
+
+
+@_q(
+    "u5_gpu_invalid_revert",
+    "SELECT o_orderkey, "
+    "CASE WHEN o_orderstatus = 'P' THEN 'O' ELSE o_orderstatus END AS status_after, "
+    "CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderpriority END AS stage_artifact "
+    "FROM orders",
+)
+def u5_revert(spark, sf_dir):
+    """U5 gpuInvalidDownload revert: stage flags and artifact url nulled
+    (main.py:713-717)."""
+    o = _t(spark, sf_dir, "orders")
+    is_p = F.col("o_orderstatus") == "P"
+    return o.select(
+        "o_orderkey",
+        F.when(is_p, "O").otherwise(F.col("o_orderstatus")).alias("status_after"),
+        F.when(is_p, F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("stage_artifact"),
+    )
+
+
+# --- A4: per-entity counter increments --------------------------------------
+
+
+@_q(
+    "a4_worker_counters",
+    "SELECT c.c_custkey AS uuid, "
+    "cast(floor(c.c_acctbal) AS bigint) + coalesce(d.n, 0) AS jobs_completed "
+    "FROM customer c LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders "
+    "WHERE o_orderstatus = 'O' GROUP BY o_custkey) d ON c.c_custkey = d.o_custkey",
+)
+def a4_worker_counters(spark, sf_dir):
+    """A4 per-worker jobs_completed increment as one grouped merge
+    (main.py:422-424,657,683)."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("uuid"),
+        F.floor(F.col("c_acctbal")).cast("bigint").alias("jobs_completed"),
+    )
+    delta = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("uuid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return c.join(delta, on="uuid", how="left").select(
+        "uuid",
+        (F.col("jobs_completed") + F.coalesce(F.col("n"), F.lit(0))).alias("jobs_completed"),
+    )
+
+
+# --- O3/O5: seed sort, deterministic element pick ---------------------------
+
+
+@_q(
+    "o3_seed_sort",
+    "SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS insert_rank "
+    "FROM orders WHERE o_orderstatus = 'O'",
+)
+def o3_seed_sort(spark, sf_dir):
+    """O3 seed sort by number before bulk insert (update_db.py:107)."""
+    w = Window.orderBy("o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey")
+        .withColumn("insert_rank", F.row_number().over(w))
+    )
+
+
+@_q(
+    "o5_deterministic_pick",
+    "SELECT o_orderkey, "
+    f"({oracle_hash_sql('o_orderkey', 7)}) % 3 AS upload_addr_idx FROM orders",
+)
+def o5_pick(spark, sf_dir):
+    """O5 random upload-address choice (main.py:508-510) made
+    deterministic: pmod(seeded hash, n_addresses)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.pmod(oracle_hash(F.col("o_orderkey"), 7), F.lit(3)).alias("upload_addr_idx"),
+    )
+
+
+# --- F3/F6: epoch arithmetic, number formatting ------------------------------
+
+
+@_q(
+    "f3_epoch_age",
+    "SELECT event_id, 1706659200 - cast(floor(epoch(ts)) AS bigint) AS age_s FROM events",
+)
+def f3_epoch(spark, sf_dir):
+    """F3 epoch-seconds arithmetic (int last_seen semantics,
+    models.py:74-75)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id", (F.lit(1706659200) - F.unix_timestamp("ts")).alias("age_s")
+    )
+
+
+@_q(
+    "f6_format_number",
+    "SELECT o_orderkey, format('{:,}', cast(floor(o_totalprice) AS bigint)) AS pretty "
+    "FROM orders WHERE o_orderkey <= 100",
+)
+def f6_format(spark, sf_dir):
+    """F6 '{:,}' thousands formatting (main.py:154,259)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    return o.select(
+        "o_orderkey",
+        F.format_number(F.floor(F.col("o_totalprice")).cast("bigint"), 0).alias("pretty"),
+    )
+
+
+# --- D2 exact URL-seen (anti-join form, the test oracle of the bloom) -------
+
+
+@_q(
+    "d2_urlseen_exact",
+    "SELECT doc_id FROM documents WHERE doc_id NOT IN "
+    "(SELECT doc_id FROM documents WHERE doc_id % 2 = 0)",
+)
+def d2_urlseen_exact(spark, sf_dir):
+    """D2 exact URL-seen membership as a left_anti join — the semantics
+    the pending/closed flags enforce in the reference (models.py:31-32)."""
+    from crawlingathome_server_spark.operators.urlseen import unseen_exact
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit("http://h/"), F.col("doc_id")).alias("canon_url")
+    )
+    seen = docs.filter(F.col("doc_id") % 2 == 0).select("canon_url")
+    return unseen_exact(docs, seen).select("doc_id")
+
+
 # --- A5 full ETA pipeline (interval deltas → sliding mean → eta) ----------
 
 

@@ -59,6 +59,29 @@ def expand_frontier(
         .withColumn("host", host_of(F.col("canon_url")))
         .withColumn("url_hash", seeded_hash64(F.col("canon_url"), seed=0))
     )
+
+    if robots is not None and "disallow_prefixes" in robots.columns:
+        # robots.txt Disallow rules: drop urls whose path starts with a
+        # disallowed prefix for their host. Broadcast dim join + one
+        # exists() over the (short) prefix array — stays in codegen.
+        rules = robots.select("host", "disallow_prefixes")
+        path = F.regexp_replace(F.col("canon_url"), r"^[a-z]+://[^/]+", "")
+        canon = (
+            canon.join(F.broadcast(rules), on="host", how="left")
+            .withColumn(
+                "__disallowed",
+                F.when(
+                    F.col("disallow_prefixes").isNull(), F.lit(False)
+                ).otherwise(
+                    F.exists(
+                        F.col("disallow_prefixes"),
+                        lambda p: path.startswith(p),
+                    )
+                ),
+            )
+            .filter(~F.col("__disallowed"))
+            .drop("disallow_prefixes", "__disallowed")
+        )
     # D1: exact dedup, deterministic first-wins (earliest warc_ts, then url)
     from pyspark.sql import Window
 
@@ -128,6 +151,7 @@ class RoundEngine:
         frontier: DataFrame,
         workers: DataFrame,
         leaderboard: DataFrame | None = None,
+        cpu_leaderboard: DataFrame | None = None,
         *,
         round_epoch: int = 0,
     ) -> int:
@@ -136,8 +160,16 @@ class RoundEngine:
         lb = leaderboard
         if lb is None:
             lb = self.spark.createDataFrame([], schema=schemas.LEADERBOARD)
+        cpu_lb = cpu_leaderboard
+        if cpu_lb is None:
+            cpu_lb = self.spark.createDataFrame([], schema=schemas.CPU_LEADERBOARD)
         return self.store.commit(
-            {"frontier": frontier, "workers": workers, "leaderboard": lb},
+            {
+                "frontier": frontier,
+                "workers": workers,
+                "leaderboard": lb,
+                "cpu_leaderboard": cpu_lb,
+            },
             seed=self.seed,
             round_epoch=round_epoch,
         )
@@ -162,13 +194,22 @@ class RoundEngine:
         frontier = self.store.read(spark, "frontier")
         workers = self.store.read(spark, "workers")
         leaderboard = self.store.read(spark, "leaderboard")
+        cpu_leaderboard = self.store.read(spark, "cpu_leaderboard")
 
         n_completed = 0
         if completions is not None:
             completions = completions.cache()
             n_completed = completions.count()
             frontier = tr.complete_jobs(frontier, completions)
+            # HYBRID/GPU completions feed the main leaderboard
+            # (main.py:687-694); CPU-stage ones feed CPU_Leaderboard
+            # (main.py:661-667) — jobs only, no pairs.
             leaderboard = agg.leaderboard_merge(leaderboard, completions)
+            cpu_leaderboard = agg.leaderboard_merge(
+                cpu_leaderboard.withColumn("pairs_scraped", F.lit(0).cast("long")),
+                completions,
+                kind_filter=("cpu",),
+            ).drop("pairs_scraped")
             workers = agg.worker_counters_merge(workers, completions)
         if heartbeats is not None:
             workers = tr.heartbeat(workers, heartbeats)
@@ -192,7 +233,12 @@ class RoundEngine:
 
         stats_row = agg.frontier_stats(frontier).collect()[0].asDict()
         snap = self.store.commit(
-            {"frontier": frontier, "workers": workers, "leaderboard": leaderboard},
+            {
+                "frontier": frontier,
+                "workers": workers,
+                "leaderboard": leaderboard,
+                "cpu_leaderboard": cpu_leaderboard,
+            },
             seed=seed,
             round_epoch=round_epoch,
             counters={

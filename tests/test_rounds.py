@@ -173,3 +173,89 @@ def test_expand_frontier_excludes_seen(spark):
     assert {r["canon_url"] for r in out_bloom.collect()} <= {
         r["canon_url"] for r in out_exact.collect()
     }
+
+
+def test_two_stage_cpu_gpu_lifecycle(spark, tmp_path):
+    """Full reference two-stage pipeline (models.py:6-7): open CPU job →
+    claimed → CPU-completed (becomes open GPU job) → GPU-claimed →
+    GPU-completed (closed); plus CPU leaderboard vs main leaderboard."""
+    store = CheckpointStore(str(tmp_path / "st2"), n_partitions=2)
+    eng = RoundEngine(spark, store, seed=5)
+    fr = dedup_by_number(datagen.frontier(spark, n=200)).withColumn(
+        "gpu", F.lit(False)
+    ).withColumn("pending", F.lit(False)).withColumn("closed", F.lit(False))
+    eng.bootstrap(fr, datagen.workers(spark), round_epoch=0)
+
+    r1 = eng.run_round(round_epoch=1_600_100_000, stage="cpu", worker_type="CPU")
+    assert r1.n_claims > 0
+    claimed = store.read(spark, "frontier").filter("pending")
+    nums = [r["number"] for r in claimed.limit(6).collect()]
+
+    comps = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "number": nums,
+                "worker_uuid": ["u"] * len(nums),
+                "nickname": ["cpu-nick"] * len(nums),
+                "kind": ["cpu"] * len(nums),
+                "count": [0] * len(nums),
+                # one 'postgres' short-circuit in the batch
+                "gpu_url": ["postgres://x"] + [f"https://art/{n}" for n in nums[1:]],
+                "epoch": [1_600_100_100] * len(nums),
+            }
+        ),
+        schema=schemas.COMPLETIONS,
+    )
+    eng.run_round(round_epoch=1_600_100_300, completions=comps, stage="gpu",
+                  worker_type="GPU")
+    fr2 = store.read(spark, "frontier")
+    rows = {r["number"]: r for r in fr2.filter(F.col("number").isin(nums)).collect()}
+    # short-circuited job closed without GPU stage
+    assert rows[nums[0]]["closed"] and not rows[nums[0]]["gpu"]
+    # the rest became GPU jobs, were claimable by the GPU round
+    for n in nums[1:]:
+        assert rows[n]["gpu"] and not rows[n]["closed"]
+        assert rows[n]["cpu_completor"] == "cpu-nick"
+
+    # GPU completions close them and feed the MAIN leaderboard
+    comps_gpu = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "number": nums[1:],
+                "worker_uuid": ["g"] * (len(nums) - 1),
+                "nickname": ["gpu-nick"] * (len(nums) - 1),
+                "kind": ["gpu"] * (len(nums) - 1),
+                "count": [11] * (len(nums) - 1),
+                "gpu_url": [None] * (len(nums) - 1),
+                "epoch": [1_600_100_400] * (len(nums) - 1),
+            }
+        ),
+        schema=schemas.COMPLETIONS,
+    )
+    eng.run_round(round_epoch=1_600_100_600, completions=comps_gpu)
+    fr3 = store.read(spark, "frontier")
+    assert fr3.filter(F.col("number").isin(nums[1:])).filter("closed").count() == len(nums) - 1
+
+    lb = {r["nickname"]: r for r in store.read(spark, "leaderboard").collect()}
+    cpu_lb = {r["nickname"]: r for r in store.read(spark, "cpu_leaderboard").collect()}
+    assert lb["gpu-nick"]["jobs_completed"] == len(nums) - 1
+    assert lb["gpu-nick"]["pairs_scraped"] == 11 * (len(nums) - 1)
+    assert cpu_lb["cpu-nick"]["jobs_completed"] == len(nums)
+    assert "cpu-nick" not in lb and "gpu-nick" not in cpu_lb
+
+
+def test_expand_frontier_respects_robots_disallow(spark):
+    pages = datagen.pages(spark, seed=41, n=800)
+    rb = datagen.robots(spark)  # hosts 0,5,10,... disallow /private,/admin
+    # rewrite some urls onto disallowed paths for host0000
+    pages2 = pages.withColumn(
+        "url",
+        F.when(
+            F.col("url").contains("host0000") & (F.pmod(F.xxhash64("url"), F.lit(2)) == 0),
+            F.regexp_replace("url", r"/p/", "/private/"),
+        ).otherwise(F.col("url")),
+    )
+    out = expand_frontier(pages2, rb, seed=1)
+    assert out.filter(F.col("canon_url").contains("/private/")).count() == 0
+    # non-disallowed urls still scheduled
+    assert out.count() > 0
