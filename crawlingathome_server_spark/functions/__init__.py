@@ -1,1 +1,1 @@
-from . import text, urls  # noqa: F401
+from . import robots, text, urls  # noqa: F401

@@ -1,0 +1,93 @@
+"""robots.txt parsing → politeness dim table (north rule: "per-host
+politeness scheduler (robots.txt rules, crawl-delay budget)").
+
+The reference has no robots handling (its workers fetch CommonCrawl
+archives, not live sites); this is our addition for the URL-frontier
+role. Parsing is a vectorized pandas UDF over raw robots.txt text —
+one host's file per row, numpy/C string ops inside, Arrow batches.
+
+Semantics (subset of REP, deterministic):
+- only the ``User-agent: *`` group is honored;
+- ``Disallow:`` paths collected (empty Disallow = allow all);
+- ``Crawl-delay:`` seconds parsed (default 1.0);
+- budget = clamp(round_seconds / crawl_delay, 1, max_budget).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_CRAWL_DELAY_S = 1.0
+
+_PARSED = T.StructType(
+    [
+        T.StructField("crawl_delay_s", T.DoubleType(), False),
+        T.StructField("disallow_prefixes", T.ArrayType(T.StringType()), False),
+    ]
+)
+
+
+def _parse_one(content: str | None) -> tuple[float, list[str]]:
+    if not content:
+        return (DEFAULT_CRAWL_DELAY_S, [])
+    delay = DEFAULT_CRAWL_DELAY_S
+    disallow: list[str] = []
+    in_star_group = False
+    for line in content.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            in_star_group = val == "*"
+        elif in_star_group and key == "disallow" and val:
+            disallow.append(val)
+        elif in_star_group and key == "crawl-delay":
+            try:
+                delay = max(0.1, float(val))
+            except ValueError:
+                pass
+    return (delay, sorted(set(disallow)))
+
+
+@F.pandas_udf(_PARSED)
+def parse_robots_txt(contents: pd.Series) -> pd.DataFrame:
+    """Vectorized robots.txt → (crawl_delay_s, disallow_prefixes)."""
+    parsed = [_parse_one(c) for c in contents]
+    return pd.DataFrame(parsed, columns=["crawl_delay_s", "disallow_prefixes"])
+
+
+def politeness_budget(
+    crawl_delay_s: Column, *, round_seconds: float = 30.0, max_budget: int = 1000
+) -> Column:
+    """Claims allowed per host per scheduling round given its crawl delay."""
+    return F.least(
+        F.greatest(F.floor(F.lit(round_seconds) / crawl_delay_s), F.lit(1)),
+        F.lit(max_budget),
+    ).cast("int")
+
+
+def robots_table(
+    fetched: DataFrame,
+    *,
+    host_col: str = "host",
+    content_col: str = "robots_txt",
+    round_seconds: float = 30.0,
+) -> DataFrame:
+    """(host, robots_txt) → the politeness dim table used by claim_batch
+    and expand_frontier (schemas.ROBOTS shape)."""
+    parsed = fetched.select(
+        F.col(host_col).alias("host"), parse_robots_txt(F.col(content_col)).alias("r")
+    )
+    return parsed.select(
+        "host",
+        F.col("r.crawl_delay_s").alias("crawl_delay_s"),
+        politeness_budget(F.col("r.crawl_delay_s"), round_seconds=round_seconds).alias(
+            "max_claims_per_round"
+        ),
+        F.col("r.disallow_prefixes").alias("disallow_prefixes"),
+    )

@@ -121,6 +121,29 @@ def expand_frontier(
     )
 
 
+def dashboard_snapshot(
+    frontier: DataFrame,
+    workers: DataFrame,
+    leaderboard: DataFrame,
+    *,
+    top_k: int = 50,
+) -> dict[str, DataFrame]:
+    """E3: the full dashboard (GET / + /data, main.py:81-164,222-270) as
+    one set of DataFrames per round — replaces 6 counts + 3 top-50 scans
+    + Redis counter gets with one conditional-agg pass, one window pass,
+    one sort. The 30 s page cache (config.py:18) ≡ round cadence."""
+    return {
+        "stats": agg.frontier_stats(frontier),
+        "worker_counts": agg.worker_counts(workers),
+        "top_workers": agg.top_workers_per_type(workers, k=top_k).withColumn(
+            "uptime_human",
+            agg.humanize_duration(F.col("last_seen") - F.col("first_seen")),
+        ),
+        "leaderboard": agg.leaderboard_sorted(leaderboard),
+        "efficiency": agg.worker_efficiency(workers),
+    }
+
+
 @dataclass
 class RoundResult:
     snapshot_id: int

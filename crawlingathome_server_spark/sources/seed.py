@@ -29,6 +29,49 @@ def full_url(directory: str, path: F.Column) -> F.Column:
     return F.concat(F.lit(directory), path)
 
 
+def load_seed_json(
+    spark,
+    open_path: str,
+    closed_path: str,
+    open_gpu_path: str,
+    *,
+    directory: str,
+    schema=None,
+):
+    """S1: the reference's JSON seed load (update_db.py:31-41) end-to-end —
+    read the three shard lists with an explicit schema (never infer at
+    scale), derive number (F2) and full url (F1), union with status flags
+    (D3), dedup (D1), sort by number (O3 semantics live in the writer).
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+    from pyspark.sql import types as T
+
+    if schema is None:
+        schema = T.StructType(
+            [
+                T.StructField("url", T.StringType(), False),
+                T.StructField("start_id", T.StringType(), True),
+                T.StructField("end_id", T.StringType(), False),
+                T.StructField("shard", T.IntegerType(), False),
+            ]
+        )
+
+    def _load(path: str):
+        raw = spark.read.schema(schema).json(path)
+        return raw.select(
+            shard_number(F.col("end_id"), F.col("shard")).alias("number"),
+            full_url(directory, F.col("url")).alias("url"),
+            "start_id",
+            "end_id",
+            F.col("shard").alias("shard_of_chunk"),
+        )
+
+    unioned = union_seed_partitions(
+        _load(open_path), _load(closed_path), _load(open_gpu_path)
+    )
+    return dedup_by_number(unioned)
+
+
 def union_seed_partitions(
     open_df: DataFrame, closed_df: DataFrame, open_gpu_df: DataFrame
 ) -> DataFrame:

@@ -1,0 +1,135 @@
+"""Physical-plan assertions — the 100 TB posture, checked in CI.
+
+Each test pins a plan property that matters at scale: filters reaching
+the parquet scan, column pruning, dim-side broadcast, map-side top-k
+(WindowGroupLimit), no accidental cartesian products, whole-stage
+codegen coverage. A regression here is a performance bug even when
+results stay correct.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlingathome_server_spark import datagen
+from crawlingathome_server_spark.operators import claim
+from crawlingathome_server_spark.sources.seed import dedup_by_number
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey")
+    )
+    p = plan_of(df)
+    assert "PushedFilters" in p
+    assert "EqualTo(o_orderstatus,O)" in p, p
+
+
+def test_column_pruning_in_read_schema(spark):
+    df = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey")
+    p = plan_of(df)
+    # the scan must read exactly one column
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "o_orderkey" in read_schema
+    assert "o_totalprice" not in read_schema, read_schema
+
+
+def test_dim_join_broadcasts(spark):
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    df = o.join(c, o.o_custkey == c.c_custkey, "inner")
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_claim_literal_budget_gets_window_group_limit(spark):
+    """Literal politeness budget → Catalyst's partial WindowGroupLimit
+    bounds hot-host shuffle volume map-side (see operators/claim.py)."""
+    fr = dedup_by_number(datagen.frontier(spark, n=200))
+    claims = claim.claim_batch(fr, None, seed=1, default_budget=4, with_payload=False)
+    p = plan_of(claims)
+    assert "WindowGroupLimit" in p, p
+    assert "Partial" in p, p
+
+
+def test_claim_payload_join_is_broadcast(spark):
+    fr = dedup_by_number(datagen.frontier(spark, n=200))
+    claims = claim.claim_batch(fr, None, seed=1, default_budget=4)
+    p = plan_of(claims)
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_claim_robots_budget_uses_salted_two_phase(spark):
+    fr = dedup_by_number(datagen.frontier(spark, n=200))
+    rb = datagen.robots(spark)
+    claims = claim.claim_batch(fr, rb, seed=1, with_payload=False)
+    p = plan_of(claims)
+    # two rank phases → two window operators over different partitionings
+    assert p.count("Window") >= 2, p
+    # the politeness dim join must be broadcast, not shuffled
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_expand_frontier_has_no_cartesian(spark):
+    from crawlingathome_server_spark.plans.rounds import expand_frontier
+
+    pages = datagen.pages(spark, seed=3, n=100)
+    rb = datagen.robots(spark)
+    p = plan_of(expand_frontier(pages, rb, seed=1))
+    assert "CartesianProduct" not in p, p
+
+
+def test_knn_cross_join_is_broadcast_not_cartesian(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as se
+
+    df = se.queries()["sim_knn_cosine"](spark, SF)
+    p = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_whole_stage_codegen_covers_scalar_ops(spark):
+    from crawlingathome_server_spark.functions import text as tx
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = docs.select(
+        "doc_id", tx.lang_id(F.col("text")).alias("lang"), tx.quality_score(F.col("text")).alias("q")
+    )
+    p = plan_of(df)
+    # formatted mode marks codegen'd operators with '*'
+    assert "* Project" in p, p[:2000]
+    # no python UDF in this path — stays JVM-side
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p[:2000]
+
+
+def test_conditional_agg_is_single_scan(spark):
+    """A1: the fused dashboard counts must be ONE pass — exactly one scan
+    node, partial+final hash aggregate, no joins."""
+    from crawlingathome_server_spark.operators.aggregates import frontier_stats
+
+    fr = datagen.frontier(spark, n=100)
+    p = plan_of(frontier_stats(fr))
+    assert p.count("Scan ") <= 1, p
+    assert "Join" not in p, p
+
+
+def test_transitions_merge_is_single_join(spark):
+    """U2 merge = one left join, no row-at-a-time artifacts."""
+    from crawlingathome_server_spark.operators import transitions as tr
+
+    fr = dedup_by_number(datagen.frontier(spark, n=100))
+    comps = datagen.completions(spark, n=20)
+    p = plan_of(tr.complete_jobs(fr, comps))
+    assert p.count("Join") == 1 or "BroadcastHashJoin" in p, p

@@ -1,0 +1,76 @@
+"""robots.txt parsing + politeness-budget derivation."""
+
+from pyspark.sql import functions as F
+
+from crawlingathome_server_spark.functions import robots as rb
+
+SAMPLE = """
+# comment
+User-agent: googlebot
+Disallow: /only-for-google
+
+User-agent: *
+Disallow: /private
+Disallow: /admin
+Crawl-delay: 5
+"""
+
+
+def test_parse_robots_pure():
+    delay, dis = rb._parse_one(SAMPLE)
+    assert delay == 5.0
+    assert dis == ["/admin", "/private"]
+    assert rb._parse_one(None) == (1.0, [])
+    assert rb._parse_one("User-agent: *\nDisallow:") == (1.0, [])
+    assert rb._parse_one("User-agent: *\nCrawl-delay: bogus") == (1.0, [])
+
+
+def test_robots_table(spark):
+    df = spark.createDataFrame(
+        [("a.com", SAMPLE), ("b.com", None), ("c.com", "User-agent: *\nCrawl-delay: 0.5")],
+        ["host", "robots_txt"],
+    )
+    out = {r["host"]: r for r in rb.robots_table(df, round_seconds=30).collect()}
+    assert out["a.com"]["crawl_delay_s"] == 5.0
+    assert out["a.com"]["max_claims_per_round"] == 6  # 30/5
+    assert out["a.com"]["disallow_prefixes"] == ["/admin", "/private"]
+    assert out["b.com"]["max_claims_per_round"] == 30  # default 1 s delay
+    assert out["c.com"]["max_claims_per_round"] == 60
+
+
+def test_robots_table_feeds_claim(spark):
+    from crawlingathome_server_spark import datagen
+    from crawlingathome_server_spark.operators import claim
+    from crawlingathome_server_spark.sources.seed import dedup_by_number
+
+    fr = dedup_by_number(datagen.frontier(spark, n=300))
+    hosts = [r["host"] for r in fr.select("host").distinct().limit(3).collect()]
+    fetched = spark.createDataFrame(
+        [(h, "User-agent: *\nCrawl-delay: 15") for h in hosts], ["host", "robots_txt"]
+    )
+    table = rb.robots_table(fetched, round_seconds=30)  # budget 2 for these hosts
+    claims = claim.claim_batch(fr, table, seed=1, default_budget=99)
+    per_host = {
+        r["host"]: r["n"]
+        for r in claims.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    for h in hosts:
+        assert per_host.get(h, 0) <= 2
+
+
+def test_dashboard_snapshot(spark):
+    from crawlingathome_server_spark import datagen, schemas
+    from crawlingathome_server_spark.plans.rounds import dashboard_snapshot
+
+    fr = datagen.frontier(spark, n=200)
+    wk = datagen.workers(spark)
+    lb = spark.createDataFrame([("a", 5, 50), ("b", 9, 90)], schema=schemas.LEADERBOARD)
+    dash = dashboard_snapshot(fr, wk, lb, top_k=10)
+    stats = dash["stats"].collect()[0]
+    assert stats["total_jobs"] == fr.count()
+    assert 0 <= stats["completion_pct"] <= 100
+    top = dash["top_workers"].collect()
+    assert all(r["rank_in_type"] <= 10 for r in top)
+    assert all(r["uptime_human"].endswith("s") for r in top)
+    lb_rows = dash["leaderboard"].collect()
+    assert lb_rows[0]["nickname"] == "b"  # sorted desc by jobs
