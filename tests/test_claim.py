@@ -96,3 +96,38 @@ def test_apply_claims_marks_pending(spark):
     stamped = fr2.filter(F.col("claim_epoch") == 99)
     assert stamped.count() == n_claims
     assert stamped.filter(F.col("completor").isNull()).count() == 0
+
+
+def test_skew_phase1_bounds_per_task_rows(spark):
+    """Extreme skew: one host owns ~half the frontier. Phase-1 salted rank
+    must cap each (host, salt) group at `budget` rows before the per-host
+    exchange, so no single task ever sees the whole hot host."""
+    fr = _frontier(spark, 1200).withColumn(
+        "host",
+        F.when(F.pmod(F.col("number"), F.lit(2)) == 0, F.lit("hot.example.com"))
+        .otherwise(F.col("host")),
+    )
+    rb = datagen.robots(spark).union(
+        spark.createDataFrame(
+            [("hot.example.com", 1.0, 3, [])],
+            datagen.robots(spark).schema,
+        )
+    )
+    claims = claim.claim_batch(fr, rb, seed=9, salt_buckets=4)
+    hot = claims.filter(F.col("host") == "hot.example.com")
+    assert hot.count() <= 3  # politeness budget still enforced exactly
+    # and the result equals the unsalted spec (no skew-handling drift)
+    cand = fr.filter(claim.open_jobs(fr)).withColumn("order_key", claim.order_key(9))
+    cand = cand.join(
+        F.broadcast(rb.select("host", "max_claims_per_round")), on="host", how="left"
+    ).withColumn("budget", F.coalesce(F.col("max_claims_per_round"), F.lit(4)))
+    w = Window.partitionBy("host").orderBy(
+        F.desc("priority"), F.asc("order_key"), F.asc("number")
+    )
+    want = sorted(
+        r["number"]
+        for r in cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("budget"))
+        .collect()
+    )
+    assert sorted(r["number"] for r in claims.collect()) == want
