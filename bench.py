@@ -81,6 +81,20 @@ def run_bench(spark, sf_dir: str) -> dict:
     flagship_s = time.perf_counter() - t0
     timings["flagship_expand_frontier"] = round(flagship_s, 4)
 
+    # claim-scheduler throughput at bench scale: 2M-row expression-built
+    # frontier (no disk), politeness-budgeted batch claim, decision set only
+    from crawlingathome_server_spark.datagen import synth_frontier_expr
+    from crawlingathome_server_spark.operators.claim import claim_batch
+
+    fr2m = synth_frontier_expr(spark, 2_000_000)
+    claim_batch(fr2m.limit(50_000), None, seed=0, default_budget=2, with_payload=False).count()
+    t0 = time.perf_counter()
+    n_claims_2m = claim_batch(
+        fr2m, None, seed=1, default_budget=16, with_payload=False
+    ).count()
+    claim_s = time.perf_counter() - t0
+    timings["claim_frontier_2m"] = round(claim_s, 4)
+
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     return {
@@ -92,6 +106,8 @@ def run_bench(spark, sf_dir: str) -> dict:
         "n_pages": n_pages,
         "n_urls_scheduled": n_scheduled,
         "urls_scheduled_per_sec": round(n_scheduled / flagship_s, 2) if flagship_s else None,
+        "claim_frontier_rows_per_sec": round(2_000_000 / claim_s, 1),
+        "claim_urls_scheduled_per_sec": round(n_claims_2m / claim_s, 1),
     }
 
 

@@ -213,6 +213,36 @@ def gen_completions_pdf(seed: int = 19, n: int = 200) -> pd.DataFrame:
     )
 
 
+def synth_frontier_expr(
+    spark: SparkSession, n: int, n_hosts: int = 50_000, seed: int = 1
+) -> DataFrame:
+    """Large-scale deterministic frontier built from pure Spark expressions
+    (``spark.range`` + hashes): content is independent of partitioning, no
+    Python rows ever materialize — the bench-scale generator."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n).select(F.col("id").alias("number"))
+    u = F.pmod(F.xxhash64("number", F.lit(seed)), F.lit(1_000_000)) / 1_000_000.0
+    host_idx = F.floor(F.pow(u, 3.0) * n_hosts).cast("int")  # zipf-ish skew
+    return df.select(
+        "number",
+        F.concat(F.lit(DIRECTORY), F.lit("shard/"), F.col("number")).alias("url"),
+        F.concat(F.lit("host"), host_idx.cast("string"), F.lit(".example.com")).alias(
+            "host"
+        ),
+        (F.pmod(F.xxhash64("number", F.lit(seed + 1)), F.lit(1000)) / 1000.0).alias(
+            "priority"
+        ),
+        F.lit(False).alias("gpu"),
+        F.lit(None).cast("string").alias("gpu_url"),
+        F.lit(False).alias("pending"),
+        F.lit(False).alias("closed"),
+        F.lit(None).cast("string").alias("completor"),
+        F.lit(None).cast("string").alias("cpu_completor"),
+        F.lit(None).cast("long").alias("claim_epoch"),
+    )
+
+
 # --- Spark wrappers -------------------------------------------------------
 
 

@@ -238,6 +238,14 @@ class RoundEngine:
             workers = tr.heartbeat(workers, heartbeats)
 
         n_before = workers.count()
+        # shards the reaper may release — part of the frontier delta below
+        reaped_shards = (
+            workers.filter(
+                F.col("last_seen") <= F.lit(round_epoch - tr.IDLE_TIMEOUT_S)
+            )
+            .filter(F.col("shard_number").isNotNull())
+            .select(F.col("shard_number").alias("number"))
+        )
         frontier, workers = tr.reap_idle(frontier, workers, round_epoch)
         workers = workers.cache()
         n_reaped = n_before - workers.count()
@@ -255,6 +263,12 @@ class RoundEngine:
         frontier = claim_op.apply_claims(frontier, claims, round_epoch=round_epoch)
 
         stats_row = agg.frontier_stats(frontier).collect()[0].asDict()
+        # Delta commit: only the frontier buckets touched by this round's
+        # claims, completions, and reaper releases get rewritten; the rest
+        # of the (at-scale, enormous) frontier is inherited by reference.
+        frontier_delta = claims.select("number").unionByName(reaped_shards)
+        if completions is not None:
+            frontier_delta = frontier_delta.unionByName(completions.select("number"))
         snap = self.store.commit(
             {
                 "frontier": frontier,
@@ -270,6 +284,7 @@ class RoundEngine:
                 "n_reaped": n_reaped,
                 **stats_row,
             },
+            deltas={"frontier": frontier_delta},
         )
         claims.unpersist()
         workers.unpersist()

@@ -30,7 +30,10 @@ def test_checkpoint_roundtrip(spark, tmp_path):
     assert back.count() == fr.count()
     m = store.read_manifest(sid)
     assert m["tables"]["frontier"]["total_rows"] == fr.count()
-    assert sum(m["tables"]["frontier"]["row_counts"].values()) == fr.count()
+    assert (
+        sum(p["rows"] for p in m["tables"]["frontier"]["partitions"].values())
+        == fr.count()
+    )
 
 
 def test_rounds_progress_and_lineage(spark, tmp_path):
@@ -259,3 +262,48 @@ def test_expand_frontier_respects_robots_disallow(spark):
     assert out.filter(F.col("canon_url").contains("/private/")).count() == 0
     # non-disallowed urls still scheduled
     assert out.count() > 0
+
+
+def test_delta_commit_inherits_unchanged_buckets(spark, tmp_path):
+    """A round touching few keys rewrites only their hash buckets; the
+    others are inherited by reference from the parent manifest — and the
+    assembled table is byte-equal to a full rewrite."""
+    from crawlingathome_server_spark.sources.checkpoint import UNCHANGED
+
+    store = CheckpointStore(str(tmp_path / "d"), n_partitions=8)
+    fr = dedup_by_number(datagen.frontier(spark, n=400))
+    store.commit({"frontier": fr}, seed=1, round_epoch=0)
+
+    # flip 3 rows' pending flag; declare exactly those keys as the delta
+    changed_keys = fr.limit(3).select("number")
+    from crawlingathome_server_spark.operators import transitions as tr
+
+    fr2 = tr.release_claims(
+        claim_op.apply_claims(
+            fr,
+            changed_keys.withColumn("assigned_worker", F.lit("w")),
+            round_epoch=7,
+        ),
+        spark.createDataFrame([], "number long"),
+    )
+    sid = store.commit(
+        {"frontier": fr2}, seed=1, round_epoch=1, deltas={"frontier": changed_keys}
+    )
+    meta = store.read_manifest(sid)["tables"]["frontier"]
+    written_by = {p["written_by"] for p in meta["partitions"].values()}
+    assert 1 in written_by and sid in written_by  # mix of inherited + new
+    n_new = sum(1 for p in meta["partitions"].values() if p["written_by"] == sid)
+    assert 1 <= n_new <= 3  # at most one bucket per changed key
+
+    back = store.read(spark, "frontier", sid)
+    want = sorted(map(tuple, fr2.collect()))
+    got = sorted(map(tuple, back.collect()))
+    assert got == want
+
+    # UNCHANGED sentinel: zero new files, identical reads
+    sid2 = store.commit(
+        {"frontier": fr2}, seed=1, round_epoch=2, deltas={"frontier": UNCHANGED}
+    )
+    meta2 = store.read_manifest(sid2)["tables"]["frontier"]
+    assert all(p["written_by"] != sid2 for p in meta2["partitions"].values())
+    assert sorted(map(tuple, store.read(spark, "frontier", sid2).collect())) == want
