@@ -95,6 +95,30 @@ def run_bench(spark, sf_dir: str) -> dict:
     claim_s = time.perf_counter() - t0
     timings["claim_frontier_2m"] = round(claim_s, 4)
 
+    # URL-seen structure at bench scale: build a bucketed bloom over 1M
+    # canonical urls and probe 1M candidates (half seen, half novel)
+    from crawlingathome_server_spark.operators import urlseen
+
+    urls = spark.range(1_000_000).select(
+        F.concat(F.lit("http://h"), F.pmod(F.col("id"), F.lit(5000)), F.lit(".com/p/"), F.col("id")).alias("canon_url")
+    )
+    cands = spark.range(500_000, 1_500_000).select(
+        F.concat(F.lit("http://h"), F.pmod(F.col("id"), F.lit(5000)), F.lit(".com/p/"), F.col("id")).alias("canon_url")
+    )
+    t0 = time.perf_counter()
+    flt = urlseen.build_seen_filter(
+        urlseen.hash_urls(urls), n_buckets=256, bits_per_bucket=1 << 16
+    )
+    n_unseen = (
+        urlseen.probe_seen_filter(
+            urlseen.hash_urls(cands), flt, n_buckets=256, bits_per_bucket=1 << 16
+        )
+        .filter(~F.col("maybe_seen"))
+        .count()
+    )
+    urlseen_s = time.perf_counter() - t0
+    timings["urlseen_build_probe_1m"] = round(urlseen_s, 4)
+
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     return {
@@ -108,6 +132,8 @@ def run_bench(spark, sf_dir: str) -> dict:
         "urls_scheduled_per_sec": round(n_scheduled / flagship_s, 2) if flagship_s else None,
         "claim_frontier_rows_per_sec": round(2_000_000 / claim_s, 1),
         "claim_urls_scheduled_per_sec": round(n_claims_2m / claim_s, 1),
+        "urlseen_urls_per_sec": round(2_000_000 / urlseen_s, 1),
+        "urlseen_unseen_found": n_unseen,
     }
 
 

@@ -219,6 +219,35 @@ def simhash64(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def simhash64_expr(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash computed entirely JVM-side — the at-scale path.
+
+    split → explode words → xxhash64 per word → per-doc sum of ±1 votes
+    per bit position (64 conditional sums, map-side partial aggregation)
+    → reassemble the signature. One narrow shuffle on doc_id; no Python,
+    no Arrow transfer. ~10× the pandas-UDF variant on local[32].
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+    ).withColumn("h", F.xxhash64("w"))
+    votes = [
+        F.sum(
+            F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agged = words.groupBy("doc_id").agg(*votes)
+    sig = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return agged.select("doc_id", sig.alias("simhash"))
+
+
 def simhash_candidates(
     docs: DataFrame,
     *,
@@ -226,11 +255,17 @@ def simhash_candidates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_blocks: int = 4,
+    use_expr: bool = True,
 ) -> DataFrame:
     """Near-dup candidates: docs sharing ≥1 of ``n_blocks`` 16-bit blocks
     (pigeonhole: hamming ≤ n_blocks-1 guarantees a shared block), then
     exact hamming filter via bit_count(xor)."""
-    sh = docs.select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("simhash"))
+    if use_expr:
+        sh = simhash64_expr(docs, text_col=text_col, id_col=id_col)
+    else:
+        sh = docs.select(
+            F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("simhash")
+        )
     block_bits = 64 // n_blocks
     blocks = sh.select(
         "doc_id",

@@ -38,24 +38,9 @@ CORES = (2, 8)
 
 def gen_frontier(spark, n: int = N_ROWS):
     """Deterministic frontier via pure Spark expressions (no Python rows)."""
-    from pyspark.sql import functions as F
+    from crawlingathome_server_spark.datagen import synth_frontier_expr
 
-    df = spark.range(n).select(F.col("id").alias("number"))
-    u = (F.pmod(F.xxhash64("number", F.lit(1)), F.lit(1_000_000)) / 1_000_000.0)
-    host_idx = F.floor(F.pow(u, 3.0) * N_HOSTS).cast("int")  # zipf-ish skew
-    return df.select(
-        "number",
-        F.concat(F.lit("https://commoncrawl.example.org/shard/"), F.col("number")).alias("url"),
-        F.concat(F.lit("host"), host_idx.cast("string"), F.lit(".example.com")).alias("host"),
-        (F.pmod(F.xxhash64("number", F.lit(2)), F.lit(1000)) / 1000.0).alias("priority"),
-        F.lit(False).alias("gpu"),
-        F.lit(None).cast("string").alias("gpu_url"),
-        F.lit(False).alias("pending"),
-        F.lit(False).alias("closed"),
-        F.lit(None).cast("string").alias("completor"),
-        F.lit(None).cast("string").alias("cpu_completor"),
-        F.lit(None).cast("long").alias("claim_epoch"),
-    )
+    return synth_frontier_expr(spark, n, n_hosts=N_HOSTS, seed=1)
 
 
 def run_level(cores: int) -> dict:
