@@ -80,6 +80,46 @@ def minhash_signatures(
     return docs.select(F.col(id_col).alias("doc_id"), _sig(F.col(text_col)).alias("signature"))
 
 
+def minhash_signatures_expr(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    shingle_k: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """MinHash signatures computed fully JVM-side: shingles via
+    higher-order array functions, xxhash64 per shingle, one
+    ``array_min(transform(...))`` per hash function — whole-stage
+    codegen, no Arrow transfer. Same LSH contract as the pandas variant
+    (different base hash → different but equally valid signatures)."""
+    a, b = _perm_params(n_hashes, seed)
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.filter(
+        F.transform(
+            words, lambda x, i: F.array_join(F.slice(words, i + 1, shingle_k), " ")
+        ),
+        lambda g: F.size(F.split(g, " ")) >= shingle_k,
+    )
+    shingles = F.when(F.size(words) < shingle_k, F.array(F.array_join(words, " "))).otherwise(
+        grams
+    )
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))).alias("sh"),
+    )
+    mins = [
+        F.array_min(
+            F.transform(
+                F.col("sh"), lambda x: (x * int(a[i]) + int(b[i])) % F.lit(_MERSENNE)
+            )
+        )
+        for i in range(n_hashes)
+    ]
+    return hashed.select("doc_id", F.array(*mins).alias("signature"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     *,
@@ -180,9 +220,17 @@ def minhash_dedup(
     n_bands: int = 16,
     shingle_k: int = 3,
     seed: int = 7,
+    use_expr: bool = False,
 ) -> DataFrame:
-    """Full near-dup pipeline → (a, b, jaccard) verified duplicate pairs."""
-    sigs = minhash_signatures(
+    """Full near-dup pipeline → (a, b, jaccard) verified duplicate pairs.
+
+    ``use_expr`` switches signature computation to the pure-JVM variant;
+    end-to-end cost is dominated by the band/pair/verify stages, so both
+    perform similarly — the JVM path exists for clusters where Python
+    workers are the constrained resource.
+    """
+    sig_fn = minhash_signatures_expr if use_expr else minhash_signatures
+    sigs = sig_fn(
         docs, text_col=text_col, id_col=id_col, n_hashes=n_hashes, shingle_k=shingle_k, seed=seed
     )
     pairs = lsh_candidate_pairs(

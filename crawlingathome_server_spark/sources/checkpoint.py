@@ -198,12 +198,74 @@ class CheckpointStore:
             *[f.name for f in schema.fields]
         )
 
+    # -- maintenance -----------------------------------------------------
+
+    def compact(self, spark: SparkSession, *, seed: int, round_epoch: int) -> int:
+        """Full rewrite of every table into one snapshot — collapses long
+        delta chains (Iceberg's rewrite_data_files analogue). Run when
+        inherited-bucket fan-out makes reads touch too many snapshots."""
+        latest = self.latest_snapshot_id()
+        if latest is None:
+            raise FileNotFoundError("nothing to compact")
+        tables = {
+            name: self.read(spark, name, latest)
+            for name in self.read_manifest(latest)["tables"]
+        }
+        return self.commit(
+            tables, seed=seed, round_epoch=round_epoch, counters={"compaction": True}
+        )
+
+    def expire_snapshots(self, keep_last: int = 2) -> list[int]:
+        """Drop manifests older than the newest ``keep_last`` and delete
+        snapshot dirs no surviving manifest references. Returns expired
+        snapshot ids. Data safety: bucket dirs are only removed when
+        unreferenced by EVERY surviving manifest (delta commits inherit
+        old dirs, so age alone never justifies deletion)."""
+        import shutil
+
+        ids = sorted(
+            int(f[len("snapshot-") : -len(".json")])
+            for f in os.listdir(self.root)
+            if f.startswith("snapshot-") and f.endswith(".json")
+        )
+        survivors, expired = ids[-keep_last:], ids[:-keep_last]
+        if not expired:
+            return []
+        referenced: set[str] = set()
+        for sid in survivors:
+            m = self.read_manifest(sid)
+            for t in m["tables"].values():
+                for p in t["partitions"].values():
+                    if p["path"]:
+                        referenced.add(os.path.normpath(p["path"]))
+        for sid in expired:
+            os.remove(self._manifest_path(sid))
+            sdir = os.path.join(self.root, f"s{sid:06d}")
+            if not os.path.isdir(sdir):
+                continue
+            for tname in os.listdir(sdir):
+                tdir = os.path.join(sdir, tname)
+                for part in os.listdir(tdir):
+                    pdir = os.path.normpath(os.path.join(tdir, part))
+                    if pdir.startswith("__part") is False and not part.startswith("__part"):
+                        continue
+                    if pdir not in referenced and part.startswith("__part"):
+                        shutil.rmtree(pdir, ignore_errors=True)
+            # drop empty dirs
+            for dirpath, dirnames, filenames in os.walk(sdir, topdown=False):
+                if not os.listdir(dirpath):
+                    os.rmdir(dirpath)
+        return expired
+
     def lineage(self, snap_id: int | None = None) -> list[dict[str, Any]]:
         """Manifest chain newest→oldest (exact-resume audit trail)."""
         out = []
         cur = snap_id if snap_id is not None else self.latest_snapshot_id()
         while cur is not None:
-            m = self.read_manifest(cur)
+            try:
+                m = self.read_manifest(cur)
+            except FileNotFoundError:
+                break  # ancestors expired by expire_snapshots()
             out.append(m)
             cur = m["parent_snapshot_id"]
         return out

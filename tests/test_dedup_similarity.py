@@ -169,3 +169,11 @@ def test_multimodal_frame_sampling(spark):
     for r in vids:
         n = max(1, r["duration_ms"] // 1000)
         assert (pdf["media_id"] == r["media_id"]).sum() == n
+
+
+def test_minhash_expr_variant_finds_same_planted(spark, docs):
+    pairs = dedup.minhash_dedup(docs, threshold=0.5, use_expr=True).collect()
+    got = {(min(r["a"], r["b"]), max(r["a"], r["b"])) for r in pairs}
+    planted = {(i, 100 + i) for i in range(5)} | {(10 + i, 200 + i) for i in range(5)}
+    assert planted <= got
+    assert got <= planted  # and nothing else on this corpus

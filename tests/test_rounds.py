@@ -307,3 +307,44 @@ def test_delta_commit_inherits_unchanged_buckets(spark, tmp_path):
     meta2 = store.read_manifest(sid2)["tables"]["frontier"]
     assert all(p["written_by"] != sid2 for p in meta2["partitions"].values())
     assert sorted(map(tuple, store.read(spark, "frontier", sid2).collect())) == want
+
+
+def test_compact_and_expire(spark, tmp_path):
+    """compact() collapses delta chains; expire_snapshots() removes old
+    manifests but never deletes a bucket dir a survivor still references."""
+    store = CheckpointStore(str(tmp_path / "gc"), n_partitions=4)
+    fr = dedup_by_number(datagen.frontier(spark, n=200))
+    store.commit({"frontier": fr}, seed=1, round_epoch=0)
+    for ep in (1, 2):
+        keys = fr.limit(2).select("number")
+        store.commit({"frontier": fr}, seed=1, round_epoch=ep, deltas={"frontier": keys})
+    want = sorted(map(tuple, store.read(spark, "frontier").collect()))
+
+    sid = store.compact(spark, seed=1, round_epoch=3)
+    got = sorted(map(tuple, store.read(spark, "frontier", sid).collect()))
+    assert got == want
+    meta = store.read_manifest(sid)["tables"]["frontier"]
+    assert all(p["written_by"] == sid for p in meta["partitions"].values())
+
+    # expire everything but the last 2; the delta snapshots referenced s1's
+    # buckets, but survivors (3,4) are post-compaction → safe to drop
+    expired = store.expire_snapshots(keep_last=2)
+    assert expired == [1, 2]
+    assert sorted(map(tuple, store.read(spark, "frontier").collect())) == want
+    assert [m["snapshot_id"] for m in store.lineage()] == [4, 3]
+
+
+def test_expire_keeps_referenced_buckets(spark, tmp_path):
+    """A surviving delta snapshot inherits buckets from an expired one —
+    those bucket dirs must survive expiration."""
+    store = CheckpointStore(str(tmp_path / "gc2"), n_partitions=4)
+    fr = dedup_by_number(datagen.frontier(spark, n=200))
+    store.commit({"frontier": fr}, seed=1, round_epoch=0)  # s1: full
+    keys = fr.limit(2).select("number")
+    store.commit({"frontier": fr}, seed=1, round_epoch=1, deltas={"frontier": keys})  # s2
+    store.commit({"frontier": fr}, seed=1, round_epoch=2, deltas={"frontier": keys})  # s3
+    want = sorted(map(tuple, store.read(spark, "frontier").collect()))
+    expired = store.expire_snapshots(keep_last=2)  # drops s1's manifest only
+    assert expired == [1]
+    # s2/s3 still reference s1's unchanged buckets → read must still work
+    assert sorted(map(tuple, store.read(spark, "frontier").collect())) == want

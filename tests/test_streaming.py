@@ -115,3 +115,62 @@ def test_eta_stream_in_streaming_mode(spark, tmp_path):
         assert q.isActive
     finally:
         q.stop()
+
+
+def test_liveness_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Stop the stateful stream and restart it with the same checkpoint:
+    per-worker state (beat counts) must carry across the restart."""
+    src = tmp_path / "beats_r"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_r")
+
+    def push(rows):
+        spark.createDataFrame(_beats_pdf(rows), schema=hb.HEARTBEAT_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+
+    out_dir = str(tmp_path / "out_r")
+
+    def start():
+        # memory sinks don't support checkpoint recovery — use a file sink
+        stream = spark.readStream.schema(hb.HEARTBEAT_SCHEMA).parquet(str(src))
+        return (
+            hb.track_worker_liveness(stream, idle_timeout_s=3600)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    def wait_rows(pred, timeout_s=120):
+        deadline = time.time() + timeout_s
+        rows = []
+        while time.time() < deadline:
+            try:
+                rows = spark.read.schema(hb.REAPER_OUT_SCHEMA).parquet(out_dir).collect()
+            except Exception:
+                rows = []
+            if pred(rows):
+                return rows
+            time.sleep(2)
+        raise AssertionError(f"not reached; rows={rows}")
+
+    push([("w1", 1000, "a", 5)])
+    q = start()
+    try:
+        wait_rows(lambda rows: any(r["uuid"] == "w1" and r["n_beats"] == 1 for r in rows))
+    finally:
+        q.stop()
+
+    # restart from the same checkpoint; new beats must ADD to restored state
+    push([("w1", 1100, "b", 5)])
+    q2 = start()
+    try:
+        rows = wait_rows(
+            lambda rows: any(r["uuid"] == "w1" and r["n_beats"] == 2 for r in rows)
+        )
+        w1 = [r for r in rows if r["uuid"] == "w1" and r["n_beats"] == 2][0]
+        assert w1["last_seen"] == 1100
+    finally:
+        q2.stop()
