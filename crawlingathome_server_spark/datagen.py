@@ -75,7 +75,13 @@ def gen_pages_pdf(seed: int = 7, n: int = 2000, n_hosts: int = 50) -> pd.DataFra
     html = [
         (
             f"<html><head><title>t{i}</title><script>var x=1;</script></head>"
-            f"<body><p>{texts[i]}</p></body></html>"
+            f"<body><p>{texts[i]}</p>"
+            # deterministic outgoing links: next doc on this host + a doc on
+            # a rotated host (frontier-expansion test input)
+            f'<a href="http://{hosts[i]}/p/{(i + 1) % 97}/doc{i + 1}"></a> '
+            f'<a HREF=\'http://host{(host_idx[i] + 1) % n_hosts:04d}.example.com/x/{i}\'></a>'
+            f'<a href="/relative/skip{i}"></a>'
+            f"</body></html>"
         ).encode("utf-8")
         for i in range(n)
     ]

@@ -39,6 +39,33 @@ def extract_text(html: pd.Series) -> pd.Series:
     return html.map(_extract_one)
 
 
+# --- link extraction (frontier expansion input) ----------------------------
+
+_RE_HREF = re.compile(
+    rb"""<a\s[^>]*?href\s*=\s*["']([^"'#\s]+)["']""", re.IGNORECASE | re.DOTALL
+)
+
+
+def _links_one(raw: bytes | None) -> list[str]:
+    if raw is None:
+        return []
+    out = []
+    for m in _RE_HREF.finditer(raw):
+        href = m.group(1).decode("utf-8", errors="replace")
+        if href.startswith(("http://", "https://")):
+            out.append(href)
+    return out
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_links(html: pd.Series) -> pd.Series:
+    """html:binary → absolute outgoing hrefs (precompiled regex over raw
+    bytes, vectorized per Arrow batch). Relative links are skipped —
+    resolution against the base url happens in expand_frontier where the
+    page url is in scope."""
+    return html.map(_links_one)
+
+
 # --- language ID: n-gram/stopword heuristic -------------------------------
 
 # Marker words chosen to be disjoint across languages; the score is the

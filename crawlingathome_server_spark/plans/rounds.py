@@ -40,6 +40,7 @@ def expand_frontier(
     default_budget: int = 4,
     salt_buckets: int = 8,
     use_bloom: bool = False,
+    follow_links: bool = False,
 ) -> DataFrame:
     """The flagship query: next round's fetch set from crawled pages.
 
@@ -53,8 +54,19 @@ def expand_frontier(
 
     Returns (url, canon_url, host, url_hash, priority, order_key, budget).
     """
+    if follow_links:
+        # True frontier expansion: the candidates are the pages' outgoing
+        # links (one explode), not the already-fetched page urls.
+        from ..functions.text import extract_links
+
+        candidates = pages.select(
+            F.explode(extract_links(F.col("html"))).alias("url"), "warc_ts"
+        )
+    else:
+        candidates = pages.select("url", "warc_ts")
+
     canon = (
-        pages.select("url", "warc_ts")
+        candidates
         .withColumn("canon_url", canonicalize_url(F.col("url")))
         .withColumn("host", host_of(F.col("canon_url")))
         .withColumn("url_hash", seeded_hash64(F.col("canon_url"), seed=0))

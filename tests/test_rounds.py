@@ -348,3 +348,19 @@ def test_expire_keeps_referenced_buckets(spark, tmp_path):
     assert expired == [1]
     # s2/s3 still reference s1's unchanged buckets → read must still work
     assert sorted(map(tuple, store.read(spark, "frontier").collect())) == want
+
+
+def test_expand_frontier_follow_links(spark):
+    """True frontier expansion: candidates come from the pages' outgoing
+    hrefs (absolute only), canonicalized, deduped, budgeted."""
+    pages = datagen.pages(spark, seed=51, n=300)
+    out = expand_frontier(pages, None, seed=1, default_budget=1 << 20, follow_links=True)
+    urls = [r["canon_url"] for r in out.collect()]
+    assert len(urls) > 0
+    assert all(u.startswith("http://") for u in urls)
+    assert not any("/relative/" in u for u in urls)  # relative hrefs skipped
+    # discovered links differ from the fetched page urls
+    page_urls = {r["url"] for r in pages.select("url").collect()}
+    assert not set(urls) <= page_urls
+    # both link families present (same-host nexts and cross-host refs)
+    assert any("/p/" in u for u in urls) and any("/x/" in u for u in urls)
