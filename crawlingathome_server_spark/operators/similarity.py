@@ -93,21 +93,11 @@ def lsh_signatures(
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def _sig(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.to_numpy())  # (batch, dim)
-        bits = (m @ planes) > 0  # (batch, n_planes)
-        out = []
-        for row in bits:
-            buckets = [
-                int(
-                    sum(
-                        1 << j
-                        for j in range(bits_per_band)
-                        if row[band * bits_per_band + j]
-                    )
-                )
-                for band in range(n_bands)
-            ]
-            out.append(buckets)
-        return pd.Series(out)
+        bits = ((m @ planes) > 0).astype(np.int64)  # (batch, n_planes)
+        # (batch, n_bands, bits_per_band) · 2^j — fully vectorized
+        weights = (1 << np.arange(bits_per_band, dtype=np.int64))
+        buckets = bits.reshape(len(m), n_bands, bits_per_band) @ weights
+        return pd.Series(buckets.astype(np.int32).tolist())
 
     sigs = embeddings.select(
         F.col(id_col), _sig(as_double(F.col(vec_col))).alias("bands")

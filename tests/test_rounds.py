@@ -364,3 +364,59 @@ def test_expand_frontier_follow_links(spark):
     assert not set(urls) <= page_urls
     # both link families present (same-host nexts and cross-host refs)
     assert any("/p/" in u for u in urls) and any("/x/" in u for u in urls)
+
+
+def test_multi_round_state_machine_invariants(spark, tmp_path):
+    """SURVEY §5 property checks over 4 rounds with completions mixed in:
+    no job claimed twice while pending; closed is monotone; per-round
+    claim sets are disjoint from still-pending prior claims."""
+    eng, store = _engine(spark, tmp_path, n=300)
+    rb = datagen.robots(spark)
+    claimed_prior: set[int] = set()
+    closed_prev: set[int] = set()
+    for k in range(1, 5):
+        fr_before = store.read(spark, "frontier")
+        pending_before = {
+            r["number"] for r in fr_before.filter("pending and not closed").collect()
+        }
+        # complete a third of the currently-pending claims
+        done = sorted(pending_before)[::3]
+        comps = None
+        if done:
+            comps = spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "number": done,
+                        "worker_uuid": ["u"] * len(done),
+                        "nickname": ["nick"] * len(done),
+                        "kind": ["hybrid"] * len(done),
+                        "count": [1] * len(done),
+                        "gpu_url": [None] * len(done),
+                        "epoch": [k] * len(done),
+                    }
+                ),
+                schema=schemas.COMPLETIONS,
+            )
+        epoch = 1_600_100_000 + k * 300
+        # shards the reaper will legitimately release this round (their
+        # workers idled out) — those become claimable again by design
+        released = {
+            r["shard_number"]
+            for r in store.read(spark, "workers")
+            .filter(F.col("last_seen") <= epoch - 7200)
+            .filter(F.col("shard_number").isNotNull())
+            .collect()
+        }
+        eng.run_round(round_epoch=epoch, completions=comps, robots=rb)
+        fr = store.read(spark, "frontier")
+        rows = fr.collect()
+        claimed_now = {r["number"] for r in rows if r["claim_epoch"] == epoch}
+        # a job still pending from an earlier round is never re-claimed
+        # (unless its claim was released by the reaper)
+        assert not (claimed_now & (pending_before - set(done) - released))
+        claimed_prior |= claimed_now
+        closed_now = {r["number"] for r in rows if r["closed"]}
+        assert closed_prev <= closed_now  # monotone
+        closed_prev = closed_now
+        # pending ∩ closed = ∅ in every snapshot
+        assert not any(r["pending"] and r["closed"] for r in rows)
