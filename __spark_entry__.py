@@ -533,6 +533,150 @@ def f4_humanize(spark, sf_dir):
     )
 
 
+# --- additional OLAP surface: sessionization, distinct, pivot, cube, pct ---
+
+
+@_q(
+    "w1_sessionize",
+    "WITH e AS (SELECT user_id, event_id, cast(floor(epoch(ts)) AS bigint) AS ep FROM events), "
+    "g AS (SELECT user_id, event_id, ep, "
+    "CASE WHEN ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id) > 3600 "
+    "OR lag(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id) IS NULL THEN 1 ELSE 0 END AS brk "
+    "FROM e) "
+    "SELECT user_id, event_id, sum(brk) OVER (PARTITION BY user_id ORDER BY ep, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g",
+)
+def w1_sessionize(spark, sf_dir):
+    """Sessionization: lag gap > 1h starts a new session (worker activity
+    sessions over the heartbeat log)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ep")
+    )
+    w = Window.partitionBy("user_id").orderBy("ep", "event_id")
+    brk = F.when(
+        (F.col("ep") - F.lag("ep", 1).over(w) > 3600) | F.lag("ep", 1).over(w).isNull(),
+        1,
+    ).otherwise(0)
+    return (
+        e.withColumn("brk", brk)
+        .withColumn(
+            "session_id",
+            F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select("user_id", "event_id", "session_id")
+    )
+
+
+@_q(
+    "a7_distinct_hosts",
+    "SELECT count(DISTINCT o_custkey) AS n_hosts, count(DISTINCT o_orderpriority) "
+    "AS n_priorities FROM orders WHERE o_orderstatus <> 'F'",
+)
+def a7_distinct(spark, sf_dir):
+    """Exact distinct counts (frontier distinct-host metric)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_hosts"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
+@_q("a7_approx_distinct_hosts")
+def a7_approx_distinct(spark, sf_dir):
+    """HLL approx distinct (the at-scale variant; rows-only check — sketch
+    values are engine-specific)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(F.approx_count_distinct("o_custkey", 0.01).alias("n_hosts_approx"))
+
+
+@_q(
+    "w2_pivot_status_by_priority",
+    "SELECT o_orderpriority, "
+    "sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open, "
+    "sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending, "
+    "sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_closed "
+    "FROM orders GROUP BY o_orderpriority",
+)
+def w2_pivot(spark, sf_dir):
+    """Pivot: job-state counts per priority class (dashboard breakdown)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "P", "F"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("P", F.lit(0)).alias("n_pending"),
+            F.coalesce("F", F.lit(0)).alias("n_closed"),
+        )
+    )
+
+
+@_q(
+    "w3_rollup_counts",
+    "SELECT coalesce(o_orderstatus, 'ALL') AS status, "
+    "coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n "
+    "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)",
+)
+def w3_rollup(spark, sf_dir):
+    """ROLLUP job counts by (status, priority) — subtotal hierarchy."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .count()
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.col("count").alias("n"),
+        )
+    )
+
+
+@_q(
+    "w4_percentiles",
+    "SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5), 6) AS p50, "
+    "round(quantile_cont(o_totalprice, 0.95), 6) AS p95 "
+    "FROM orders GROUP BY o_orderpriority",
+)
+def w4_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (claim-latency style KPI)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.95)), 6).alias("p95"),
+        )
+    )
+
+
+@_q(
+    "t_curation_pipeline",
+    "WITH scored AS (SELECT doc_id, text, md5(text) AS h, "
+    "length(regexp_split_to_array(trim(text), '\\s+')) AS n_words FROM documents), "
+    "kept AS (SELECT * FROM scored WHERE n_words >= 20), "
+    "dedup AS (SELECT h, min(doc_id) AS keeper FROM kept GROUP BY h) "
+    "SELECT k.doc_id, k.n_words FROM kept k JOIN dedup d "
+    "ON k.h = d.h AND k.doc_id = d.keeper",
+)
+def t_curation(spark, sf_dir):
+    """End-to-end training-data curation: length filter → exact dedup →
+    keeper set (the composed pipeline a data-curation user runs)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        tx.token_count_ws(F.col("text")).alias("n_words"),
+    )
+    kept = scored.filter(F.col("n_words") >= 20)
+    dedup = kept.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    return (
+        kept.join(dedup, (kept.h == dedup.h) & (kept.doc_id == dedup.keeper))
+        .select("doc_id", "n_words")
+    )
+
+
 # --- webtext / training-data ops over documents ---------------------------
 
 

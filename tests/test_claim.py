@@ -131,3 +131,22 @@ def test_skew_phase1_bounds_per_task_rows(spark):
         .collect()
     )
     assert sorted(r["number"] for r in claims.collect()) == want
+
+
+def test_assign_workers_balanced_and_deterministic(spark):
+    fr = _frontier(spark, 900)
+    wk = datagen.workers(spark)
+    claims = claim.claim_batch(fr, None, seed=3, default_budget=50)
+    a1 = claim.assign_workers(claims, wk, worker_type="CPU", seed=3)
+    a2 = claim.assign_workers(claims.repartition(5), wk, worker_type="CPU", seed=3)
+    m1 = {r["number"]: r["assigned_worker"] for r in a1.collect()}
+    m2 = {r["number"]: r["assigned_worker"] for r in a2.collect()}
+    assert m1 == m2  # deterministic across partitioning
+    assert all(v is not None for v in m1.values())
+    # balance: no CPU worker gets more than 3x the fair share
+    from collections import Counter
+
+    counts = Counter(m1.values())
+    n_workers = wk.filter("type = 'CPU'").count()
+    fair = len(m1) / n_workers
+    assert max(counts.values()) < 3 * fair + 2, counts.most_common(3)

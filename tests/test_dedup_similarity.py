@@ -177,3 +177,28 @@ def test_minhash_expr_variant_finds_same_planted(spark, docs):
     planted = {(i, 100 + i) for i in range(5)} | {(10 + i, 200 + i) for i in range(5)}
     assert planted <= got
     assert got <= planted  # and nothing else on this corpus
+
+
+def test_multimodal_features_feed_ann(spark):
+    """Composed multimodal pipeline: decode image binaries → feature
+    vectors → LSH ANN over them. Planted duplicate payloads must be each
+    other's nearest neighbors (identical bytes → identical fake features
+    → cosine 1)."""
+    media = multimodal.gen_media(spark, n=80)
+    imgs = media.filter("kind = 'image'")
+    # plant: re-register the first image's payload under a new id
+    first = imgs.limit(1).collect()[0]
+    dup = spark.createDataFrame(
+        [(9999, "http://dup", "image", bytes(first["payload"]), "image/jpeg",
+          first["width"], first["height"], None)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    feats = multimodal.decode_image_features(imgs.union(dup), dim=16, fake=True)
+    vecs = feats.select(
+        F.col("media_id").alias("vec_id"), F.col("features").alias("embedding")
+    )
+    probes = vecs.filter(F.col("vec_id") == 9999)
+    out = similarity.lsh_topk(vecs, probes, dim=16, k=1, n_planes=16, n_bands=8).collect()
+    assert len(out) == 1
+    assert out[0]["cand_id"] == first["media_id"]
+    assert out[0]["cosine_sim"] > 0.999999
