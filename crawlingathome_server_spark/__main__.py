@@ -26,6 +26,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--frontier-rows", type=int, default=10_000)
     ap.add_argument("--budget", type=int, default=4)
     ap.add_argument("--epoch0", type=int, default=1_600_100_000)
+    ap.add_argument(
+        "--compact", action="store_true", help="collapse delta chain after the rounds"
+    )
+    ap.add_argument(
+        "--expire-keep",
+        type=int,
+        default=0,
+        help="after rounds, expire snapshots keeping the newest N (0 = keep all)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -73,6 +82,12 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+    if args.compact:
+        sid = store.compact(spark, seed=args.seed, round_epoch=base)
+        print(json.dumps({"event": "compact", "snapshot": sid}))
+    if args.expire_keep > 0:
+        expired = store.expire_snapshots(keep_last=args.expire_keep)
+        print(json.dumps({"event": "expire", "removed": expired}))
     return 0
 
 
