@@ -677,6 +677,35 @@ def t_curation(spark, sf_dir):
     )
 
 
+@_q(
+    "f12_json_extract",
+    "SELECT event_id, cast(json_extract_string(props, '$.k') AS bigint) AS k FROM events",
+)
+def f12_json_extract(spark, sf_dir):
+    """Semi-structured props: JSON field extraction (worker progress
+    payloads are free-text in the reference, models.py:69; JSON here)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    )
+
+
+@_q(
+    "f11_month_rollup",
+    "SELECT cast(date_trunc('month', o_orderdate) AS date) AS month, count(*) AS n, "
+    "round(sum(o_totalprice), 4) AS volume FROM orders GROUP BY 1",
+)
+def f11_month_rollup(spark, sf_dir):
+    """Calendar rollup: per-month job counts + volume (completion-rate
+    history, the dashboard's long-horizon view)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 4).alias("volume")
+    )
+
+
 # --- webtext / training-data ops over documents ---------------------------
 
 

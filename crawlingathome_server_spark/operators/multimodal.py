@@ -99,6 +99,59 @@ def decode_image_features(
     )
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_width", T.IntegerType(), False),
+        T.StructField("out_height", T.IntegerType(), False),
+        T.StructField("resized", T.BinaryType(), False),
+        T.StructField("scale", T.DoubleType(), False),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, *, max_side: int = 224, fake: bool = False
+) -> DataFrame:
+    """image binary → resized binary + output dims via ``mapInPandas``.
+
+    Aspect-preserving target dims are computed from the metadata columns
+    (real math); the pixel resample itself is the stubbed codec step
+    (fake mode emits a deterministic digest-derived payload)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, blobs, scales = [], [], [], [], []
+            for media_id, payload, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                if payload is None or w is None or h is None:
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "real image resampling needs an image codec library; fake=True"
+                    )
+                scale = min(1.0, max_side / max(int(w), int(h)))
+                ow, oh = max(1, round(int(w) * scale)), max(1, round(int(h) * scale))
+                digest = hashlib.sha256(bytes(payload) + f"{ow}x{oh}".encode()).digest()
+                ids.append(media_id)
+                ws.append(ow)
+                hs.append(oh)
+                blobs.append(digest)
+                scales.append(scale)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "out_width": pd.array(ws, dtype="int32"),
+                    "out_height": pd.array(hs, dtype="int32"),
+                    "resized": blobs,
+                    "scale": scales,
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(_resize, RESIZE_SCHEMA)
+
+
 def sample_video_frames(
     media: DataFrame, *, every_ms: int = 1000, fake: bool = False
 ) -> DataFrame:

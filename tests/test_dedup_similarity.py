@@ -202,3 +202,19 @@ def test_multimodal_features_feed_ann(spark):
     assert len(out) == 1
     assert out[0]["cand_id"] == first["media_id"]
     assert out[0]["cosine_sim"] > 0.999999
+
+
+def test_multimodal_resize(spark):
+    media = multimodal.gen_media(spark, n=50)
+    out = multimodal.resize_images(media, max_side=128, fake=True).collect()
+    assert len(out) == media.filter("kind = 'image' AND width IS NOT NULL").count()
+    for r in out:
+        assert max(r["out_width"], r["out_height"]) <= 128
+        assert 0 < r["scale"] <= 1.0
+    # aspect ratio preserved (within rounding)
+    dims = {r["media_id"]: (r["out_width"], r["out_height"]) for r in out}
+    src = {r["media_id"]: (r["width"], r["height"])
+           for r in media.filter("kind = 'image'").collect()}
+    for mid, (ow, oh) in dims.items():
+        w, h = src[mid]
+        assert abs(ow / oh - w / h) < 0.1

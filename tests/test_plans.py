@@ -133,3 +133,29 @@ def test_transitions_merge_is_single_join(spark):
     comps = datagen.completions(spark, n=20)
     p = plan_of(tr.complete_jobs(fr, comps))
     assert p.count("Join") == 1 or "BroadcastHashJoin" in p, p
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Scale posture: frontier-shaped tables bucketed on the join key
+    co-locate — the join plans with NO Exchange on either side (what the
+    checkpoint layout gives a real cluster via Iceberg bucket transforms)."""
+    import uuid
+
+    db = f"bkt_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db}")
+    try:
+        fr = dedup_by_number(datagen.frontier(spark, n=400))
+        fr.write.bucketBy(4, "number").sortBy("number").saveAsTable(f"{db}.frontier_b")
+        fr.select("number", "priority").write.bucketBy(4, "number").sortBy(
+            "number"
+        ).saveAsTable(f"{db}.claims_b")
+        a = spark.table(f"{db}.frontier_b")
+        b = spark.table(f"{db}.claims_b")
+        # force sort-merge (the at-scale join for two fact tables); the
+        # bucketed layout must satisfy its distribution with no Exchange
+        joined = a.hint("merge").join(b.withColumnRenamed("priority", "p2"), on="number")
+        p = plan_of(joined)
+        assert "SortMergeJoin" in p, p
+        assert "Exchange" not in p, p
+    finally:
+        spark.sql(f"DROP DATABASE {db} CASCADE")
