@@ -150,9 +150,20 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket_hash"),
     )
-    grouped = bands.groupBy("band", "bucket_hash").agg(
-        F.sort_array(F.slice(F.collect_list("doc_id"), 1, max_bucket)).alias("members"),
-        (F.count(F.lit(1)) > max_bucket).alias("bucket_truncated"),
+    # Cap hot buckets BEFORE collect_list: a boilerplate mega-bucket must
+    # never materialize whole in an aggregation buffer. row_number is a
+    # constant limit → WindowGroupLimit prunes map-side (see claim.py).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket_hash").orderBy("doc_id")
+    capped = (
+        bands.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_bucket)
+        .drop("__rn")
+    )
+    grouped = capped.groupBy("band", "bucket_hash").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("members"),
+        (F.count(F.lit(1)) >= max_bucket).alias("bucket_truncated"),
     )
     pairs = (
         grouped.filter(F.size("members") >= 2)
