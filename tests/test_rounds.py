@@ -420,3 +420,64 @@ def test_multi_round_state_machine_invariants(spark, tmp_path):
         closed_prev = closed_now
         # pending ∩ closed = ∅ in every snapshot
         assert not any(r["pending"] and r["closed"] for r in rows)
+
+
+def test_gpu_stage_claims_match_simulator(spark):
+    """Claim-ordering oracle for the GPU stage: after CPU completions
+    promote jobs to the GPU queue (with 'postgres' short-circuits mixed
+    in), the engine's GPU-stage claim set equals the simulator's."""
+    from crawlingathome_server_spark.operators import transitions as tr
+
+    fr_df = dedup_by_number(datagen.frontier(spark, n=500))
+    budgets_pdf = datagen.gen_robots_pdf()
+    budgets = dict(
+        zip(budgets_pdf["host"], (int(x) for x in budgets_pdf["max_claims_per_round"]))
+    )
+    sim = Simulator()
+    sim.add_jobs(
+        [
+            SimJob(
+                number=r["number"], url=r["url"], host=r["host"],
+                priority=r["priority"], gpu=r["gpu"], gpu_url=r["gpu_url"],
+                pending=r["pending"], closed=r["closed"],
+            )
+            for r in fr_df.collect()
+        ]
+    )
+    rb = datagen.robots(spark)
+
+    # round 1: CPU claims, then CPU-complete them all (every 7th short-circuits)
+    claims = claim_op.claim_batch(fr_df, rb, seed=21, use_oracle_hash=True)
+    got = sorted(r["number"] for r in claims.collect())
+    assert got == sim.claim_round(seed=21, round_epoch=1, budgets=budgets)
+    fr = claim_op.apply_claims(fr_df, claims, round_epoch=1)
+    gpu_urls = {
+        n: ("postgres://x" if i % 7 == 0 else f"https://art/{n}")
+        for i, n in enumerate(got)
+    }
+    for n in got:
+        sim.complete(n, kind="cpu", nickname="c", count=0, gpu_url=gpu_urls[n])
+    comps = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "number": got,
+                "worker_uuid": ["u"] * len(got),
+                "nickname": ["c"] * len(got),
+                "kind": ["cpu"] * len(got),
+                "count": [0] * len(got),
+                "gpu_url": [gpu_urls[n] for n in got],
+                "epoch": [1] * len(got),
+            }
+        ),
+        schema=schemas.COMPLETIONS,
+    )
+    fr = tr.complete_jobs(fr, comps)
+
+    # round 2: GPU-stage claims must match the simulator exactly
+    gpu_claims = claim_op.claim_batch(fr, rb, seed=22, stage="gpu", use_oracle_hash=True)
+    got_gpu = sorted(r["number"] for r in gpu_claims.collect())
+    want_gpu = sim.claim_round(seed=22, round_epoch=2, stage="gpu", budgets=budgets)
+    assert got_gpu == want_gpu
+    # short-circuited jobs never reached the GPU queue in either world
+    shorted = {n for n in got if "postgres" in gpu_urls[n]}
+    assert not (shorted & set(got_gpu))
