@@ -134,7 +134,25 @@ def run_bench(spark, sf_dir: str) -> dict:
         "claim_urls_scheduled_per_sec": round(n_claims_2m / claim_s, 1),
         "urlseen_urls_per_sec": round(2_000_000 / urlseen_s, 1),
         "urlseen_unseen_found": n_unseen,
+        **_scaling_summary(),
     }
+
+
+def _scaling_summary() -> dict:
+    """Attach the last tools/scaling_bench.py result (N vs 4N evidence)."""
+    import contextlib
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
+    with contextlib.suppress(Exception):
+        with open(path) as f:
+            s = json.load(f)
+        return {
+            "scaling_efficiency_N_to_4N": s["efficiency"],
+            "scaling_N_cores": s["local_N"]["cores"],
+            "scaling_4N_cores": s["local_4N"]["cores"],
+            "scaling_4N_urls_scheduled_per_sec": s["local_4N"]["urls_scheduled_per_sec"],
+        }
+    return {}
 
 
 def main() -> None:
