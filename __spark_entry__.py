@@ -241,10 +241,12 @@ def j5_upsert(spark, sf_dir):
 
 @_q(
     "a1_dashboard_counts",
+    # sums are CAST to BIGINT: DuckDB sum(int) yields HUGEINT/INT128, which
+    # the driver's normalizer formats differently from BIGINT (r01 lesson).
     "SELECT count(*) AS total_jobs, "
-    "sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS completed_jobs, "
-    "sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_jobs, "
-    "sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS pending_jobs "
+    "CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS completed_jobs, "
+    "CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_jobs, "
+    "CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS pending_jobs "
     "FROM orders",
 )
 def a1_counts(spark, sf_dir):
@@ -489,16 +491,22 @@ def u7_reaper(spark, sf_dir):
 
 @_q(
     "f2_shard_number",
-    "SELECT o_orderkey, cast(cast(end_id AS bigint) / 1000000 AS bigint) * 2 "
-    "- (CASE WHEN shard_of_chunk = 0 THEN 1 ELSE 0 END) AS shard_number FROM ("
-    "SELECT o_orderkey, cast(o_orderkey * 1000000 AS varchar) AS end_id, "
+    # mirrors the reference order of operations (update_db.py:12-16):
+    # double the FLOAT quotient, subtract the shard-0 offset, then int().
+    "SELECT o_orderkey, CAST(floor((CAST(end_id AS DOUBLE) / 1000000) * 2 "
+    "- (CASE WHEN shard_of_chunk = 0 THEN 1 ELSE 0 END)) AS BIGINT) AS shard_number FROM ("
+    "SELECT o_orderkey, cast(o_orderkey * 1000000 + 500000 * (o_orderkey % 2) AS varchar) AS end_id, "
     "o_orderkey % 2 AS shard_of_chunk FROM orders)",
 )
 def f2_shard_number(spark, sf_dir):
-    """F1/F2 shard-number arithmetic on string ids (update_db.py:12-16)."""
+    """F1/F2 shard-number arithmetic on string ids (update_db.py:12-16).
+    Odd keys get an end_id at an odd multiple of 500000 to exercise the
+    reference's double-before-truncate order of operations."""
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
-        (F.col("o_orderkey") * 1_000_000).cast("string").alias("end_id"),
+        (F.col("o_orderkey") * 1_000_000 + 500_000 * (F.col("o_orderkey") % 2))
+        .cast("string")
+        .alias("end_id"),
         (F.col("o_orderkey") % 2).alias("shard_of_chunk"),
     )
     return o.select(
@@ -543,8 +551,8 @@ def f4_humanize(spark, sf_dir):
     "CASE WHEN ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id) > 3600 "
     "OR lag(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id) IS NULL THEN 1 ELSE 0 END AS brk "
     "FROM e) "
-    "SELECT user_id, event_id, sum(brk) OVER (PARTITION BY user_id ORDER BY ep, event_id "
-    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM g",
+    "SELECT user_id, event_id, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ep, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM g",
 )
 def w1_sessionize(spark, sf_dir):
     """Sessionization: lag gap > 1h starts a new session (worker activity
@@ -592,9 +600,9 @@ def a7_approx_distinct(spark, sf_dir):
 @_q(
     "w2_pivot_status_by_priority",
     "SELECT o_orderpriority, "
-    "sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open, "
-    "sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending, "
-    "sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_closed "
+    "CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open, "
+    "CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending, "
+    "CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_closed "
     "FROM orders GROUP BY o_orderpriority",
 )
 def w2_pivot(spark, sf_dir):

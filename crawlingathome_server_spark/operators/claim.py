@@ -103,9 +103,14 @@ def claim_batch(
     budget_is_literal = robots is None
     if robots is not None:
         # Politeness dim table is small (one row per host) → broadcast.
+        # robots keys on 'host'; align it to the frontier's host column.
         narrow = narrow.join(
-            F.broadcast(robots.select("host", "max_claims_per_round")),
-            on="host",
+            F.broadcast(
+                robots.select(
+                    F.col("host").alias(host_col), "max_claims_per_round"
+                )
+            ),
+            on=host_col,
             how="left",
         ).withColumn(
             "budget", F.coalesce(F.col("max_claims_per_round"), F.lit(default_budget))

@@ -307,34 +307,56 @@ def simhash64_expr(
     return agged.select("doc_id", sig.alias("simhash"))
 
 
+def _block_ranges(n_bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """Split ``n_bits`` into ``n_blocks`` contiguous (start, width) ranges
+    as evenly as possible (widths differ by at most 1)."""
+    base, extra = divmod(n_bits, n_blocks)
+    out, start = [], 0
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        out.append((start, width))
+        start += width
+    return out
+
+
 def simhash_candidates(
     docs: DataFrame,
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    n_blocks: int = 4,
+    n_blocks: int | None = None,
     use_expr: bool = True,
 ) -> DataFrame:
-    """Near-dup candidates: docs sharing ≥1 of ``n_blocks`` 16-bit blocks
-    (pigeonhole: hamming ≤ n_blocks-1 guarantees a shared block), then
-    exact hamming filter via bit_count(xor)."""
+    """Near-dup candidates: docs sharing ≥1 of ``n_blocks`` signature
+    blocks (pigeonhole: hamming ≤ n_blocks-1 guarantees a shared block),
+    then exact hamming filter via bit_count(xor).
+
+    ``n_blocks`` defaults to ``max_hamming + 1`` so the pigeonhole recall
+    guarantee always holds; passing a smaller value is an error (it would
+    silently miss pairs)."""
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if n_blocks < max_hamming + 1:
+        raise ValueError(
+            f"n_blocks={n_blocks} cannot guarantee recall for "
+            f"max_hamming={max_hamming}; need n_blocks >= max_hamming+1"
+        )
     if use_expr:
         sh = simhash64_expr(docs, text_col=text_col, id_col=id_col)
     else:
         sh = docs.select(
             F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("simhash")
         )
-    block_bits = 64 // n_blocks
     blocks = sh.select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), i * block_bits)
-                    .bitwiseAND(F.lit((1 << block_bits) - 1))
-                    for i in range(n_blocks)
+                    F.shiftrightunsigned(F.col("simhash"), start)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    for start, width in _block_ranges(64, n_blocks)
                 ]
             )
         ).alias("block_idx", "block_val"),

@@ -73,13 +73,22 @@ def complete_jobs(frontier: DataFrame, completions: DataFrame) -> DataFrame:
       cpu_completor=nickname — job becomes an open GPU job; EXCEPT the
       'postgres' short-circuit (P5, main.py:650-652): gpu_url containing
       'postgres' closes the job immediately, skipping the GPU stage.
+      ``completor`` is never modified on the CPU path (main.py:646-653
+      leaves the claim-time value in place, even for shortcut-closed
+      jobs).
 
     Guards from main.py:637-640 (no shard / already closed) become join
     predicates: a completion for a closed or unknown number is a no-op.
+    A CPU completion with NULL gpu_url is invalid input — the reference
+    rejects it with HTTP 400 (main.py:642-644); here it is dropped
+    before the merge so three-valued ``contains`` logic can never write
+    a NULL ``closed`` flag.
     """
-    d = completions.dropDuplicates(["number"])
+    d = completions.filter(
+        ~((F.col("kind") == "cpu") & F.col("gpu_url").isNull())
+    ).dropDuplicates(["number"])
     is_cpu = F.col("d_kind") == "cpu"
-    shortcut = is_cpu & F.col("d_gpu_url").contains("postgres")
+    shortcut = is_cpu & F.coalesce(F.col("d_gpu_url").contains("postgres"), F.lit(False))
     close_now = (~is_cpu) | shortcut
     return merge_update(
         frontier,
@@ -95,7 +104,7 @@ def complete_jobs(frontier: DataFrame, completions: DataFrame) -> DataFrame:
                 F.when(is_cpu, F.col("d_gpu_url")).otherwise(F.col("gpu_url"))
             ),
             "completor": F.when(F.col("closed"), F.col("completor")).otherwise(
-                F.when(close_now, F.col("d_nickname")).otherwise(F.lit(None).cast("string"))
+                F.when(~is_cpu, F.col("d_nickname")).otherwise(F.col("completor"))
             ),
             "cpu_completor": F.when(F.col("closed"), F.col("cpu_completor")).otherwise(
                 F.when(is_cpu, F.col("d_nickname")).otherwise(F.col("cpu_completor"))

@@ -108,15 +108,18 @@ class Simulator:
         if j is None or j.closed:  # guards main.py:637-640
             return
         if kind == "cpu":  # U3
+            if gpu_url is None:  # main.py:642-644 rejects with HTTP 400
+                return
+            # completor is NOT modified on the CPU path (main.py:646-653
+            # leaves the claim-time value), even when the 'postgres'
+            # shortcut closes the job.
             j.pending = False
             j.gpu_url = gpu_url
             j.cpu_completor = nickname
-            if gpu_url is not None and "postgres" in gpu_url:  # main.py:650-652
+            if "postgres" in gpu_url:  # main.py:650-652
                 j.closed = True
-                j.completor = nickname
             else:
                 j.gpu = True
-                j.completor = None
         else:  # U2 hybrid/gpu
             j.closed = True
             j.pending = False

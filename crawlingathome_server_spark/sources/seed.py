@@ -17,11 +17,15 @@ from pyspark.sql import functions as F
 
 
 def shard_number(end_id: F.Column, shard_of_chunk: F.Column) -> F.Column:
-    """``(end_id/1e6)*2 − (shard==0)`` — reference update_db.py:12-16."""
-    return (
-        (end_id.cast("long") / F.lit(1_000_000)).cast("long") * 2
-        - F.when(shard_of_chunk == 0, 1).otherwise(0)
-    ).cast("long")
+    """``int((end_id/1e6)*2 − (shard==0))`` — reference update_db.py:12-16.
+
+    Order of operations matches the reference exactly: the float quotient
+    is doubled BEFORE truncation, so an odd multiple of 500000 (e.g.
+    end_id=1500000, shard=1) yields 3, not 2."""
+    count = (end_id.cast("double") / F.lit(1_000_000.0)) * 2 - F.when(
+        shard_of_chunk == 0, 1
+    ).otherwise(0)
+    return F.floor(count).cast("long")
 
 
 def full_url(directory: str, path: F.Column) -> F.Column:

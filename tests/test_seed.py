@@ -53,7 +53,8 @@ def test_load_seed_json_end_to_end(spark, tmp_path):
 def test_shard_number_formula(spark):
     # update_db.py:12-16 exactly
     df = spark.createDataFrame(
-        [("1000000", 0), ("1000000", 1), ("5000000", 0), ("5000000", 1)],
+        [("1000000", 0), ("1000000", 1), ("5000000", 0), ("5000000", 1),
+         ("1500000", 0), ("1500000", 1)],
         ["end_id", "shard"],
     )
     got = [
@@ -62,4 +63,5 @@ def test_shard_number_formula(spark):
             seed.shard_number(F.col("end_id"), F.col("shard")).alias("n")
         ).collect()
     ]
-    assert got == [1, 2, 9, 10]
+    # reference doubles the float quotient BEFORE int(): 1500000 → 1.5*2=3
+    assert got == [1, 2, 9, 10, 2, 3]

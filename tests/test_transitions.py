@@ -78,7 +78,33 @@ def test_u3_postgres_short_circuit(spark):
     fr2 = tr.complete_jobs(fr, comps)
     done = fr2.join(target.select("number"), "number", "left_semi")
     assert done.filter(F.col("closed") & ~F.col("gpu")).count() == 3
-    assert done.filter(F.col("completor") == "carol").count() == 3
+    assert done.filter(F.col("cpu_completor") == "carol").count() == 3
+    # completor is untouched on the CPU path (main.py:646-653), even for
+    # shortcut-closed jobs — it keeps the claim-time value.
+    before = {r["number"]: r["completor"] for r in target.select("number", "completor").collect()}
+    after = {r["number"]: r["completor"] for r in done.select("number", "completor").collect()}
+    assert after == before
+
+
+def test_u3_null_url_rejected(spark):
+    """A CPU completion with NULL gpu_url is invalid (main.py:642-644
+    rejects with 400) — the batch merge must drop it, not corrupt state."""
+    fr = _fresh(spark)
+    target = fr.filter(~F.col("closed") & ~F.col("gpu")).limit(3)
+    comps = target.select(
+        "number",
+        F.lit("u1").alias("worker_uuid"),
+        F.lit("eve").alias("nickname"),
+        F.lit("cpu").alias("kind"),
+        F.lit(0).cast("long").alias("count"),
+        F.lit(None).cast("string").alias("gpu_url"),
+        F.lit(1).cast("long").alias("epoch"),
+    )
+    fr2 = tr.complete_jobs(fr, comps)
+    # the affected rows are unchanged, and nothing anywhere has NULL closed
+    assert fr2.filter(F.col("closed").isNull()).count() == 0
+    done = fr2.join(target.select("number"), "number", "left_semi")
+    assert done.filter(F.col("closed") | F.col("gpu")).count() == 0
 
 
 def test_completion_noop_on_closed(spark):
