@@ -18,7 +18,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crawlingathome_server_spark.functions import text as tx
+from crawlingathome_server_spark.functions.names import display_name, display_name_sql
+from crawlingathome_server_spark.functions.parity import (
+    char_fingerprint_sql,
+)
 from crawlingathome_server_spark.functions.urls import oracle_hash, oracle_hash_sql
+from crawlingathome_server_spark import oracles as _oracles_mod
 from crawlingathome_server_spark.operators import aggregates as agg
 from crawlingathome_server_spark.operators import claim as claim_op
 from crawlingathome_server_spark.sources import seed as seed_src
@@ -82,7 +87,9 @@ def _q(name: str, sql: str | None = None):
     "WHERE o_orderstatus = 'O' AND o_orderpriority <> '1-URGENT'",
 )
 def p1_open_filter(spark, sf_dir):
-    """P1 conjunctive boolean filter (main.py:386,607-609)."""
+    """P1 conjunctive boolean filter (main.py:386,607-609). Also covers
+    P7 projection/column pruning — the narrow select reaches the scan
+    (ReadSchema asserted in tests/test_plans.py)."""
     return (
         _t(spark, sf_dir, "orders")
         .filter((F.col("o_orderstatus") == "O") & (F.col("o_orderpriority") != "1-URGENT"))
@@ -135,12 +142,6 @@ def p5_contains(spark, sf_dir):
     return _t(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_orderpriority").contains("URGENT").alias("is_shortcircuit")
     )
-
-
-@_q("p7_projection", "SELECT o_orderkey FROM orders")
-def p7_projection(spark, sf_dir):
-    """P7 single-column projection (main.py:376-378) — column pruning."""
-    return _t(spark, sf_dir, "orders").select("o_orderkey")
 
 
 # --- J: joins (SURVEY.md §2.3) --------------------------------------------
@@ -264,10 +265,16 @@ def a1_counts(spark, sf_dir):
 @_q(
     "a2_completion_ratio",
     "SELECT CASE WHEN count(*) > 0 THEN round(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END)"
-    " * 100.0 / count(*), 6) ELSE 100.0 END AS completion_pct FROM orders",
+    " * 100.0 / count(*), 6) ELSE 100.0 END AS completion_pct, "
+    "(CAST(sum(CASE WHEN o_orderkey = 42 THEN 1 ELSE 0 END) AS BIGINT) > 0) AS job_exists, "
+    "(CAST(sum(CASE WHEN o_orderkey = -1 THEN 1 ELSE 0 END) AS BIGINT) > 0) AS missing_exists "
+    "FROM orders",
 )
 def a2_ratio(spark, sf_dir):
-    """A2 guarded completion percentage (main.py:153-154,260)."""
+    """A2 guarded completion percentage (main.py:153-154,260) fused with
+    P6 existence probes (Client.exists/Job.exists, main.py:520,475) —
+    one conditional-aggregation pass answers both, replacing the
+    reference's separate count + limit-1 scans."""
     o = _t(spark, sf_dir, "orders")
     return o.agg(
         F.when(
@@ -280,7 +287,11 @@ def a2_ratio(spark, sf_dir):
             ),
         )
         .otherwise(100.0)
-        .alias("completion_pct")
+        .alias("completion_pct"),
+        (F.sum(F.when(F.col("o_orderkey") == 42, 1).otherwise(0)) > 0).alias("job_exists"),
+        (F.sum(F.when(F.col("o_orderkey") == -1, 1).otherwise(0)) > 0).alias(
+            "missing_exists"
+        ),
     )
 
 
@@ -298,20 +309,6 @@ def a3_grouped_sum(spark, sf_dir):
             F.count(F.lit(1)).alias("jobs_completed"),
             F.round(F.sum("o_totalprice"), 4).alias("pairs_scraped"),
         )
-    )
-
-
-@_q(
-    "a5_sliding_window_mean",
-    "SELECT event_id, round(avg(value) OVER "
-    "(ORDER BY ts, event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS sliding_avg "
-    "FROM events",
-)
-def a5_sliding_mean(spark, sf_dir):
-    """A5 ETA deque: 10-sample sliding mean (main.py:782-808)."""
-    w = Window.orderBy("ts", "event_id").rowsBetween(-9, 0)
-    return _t(spark, sf_dir, "events").select(
-        "event_id", F.round(F.avg("value").over(w), 6).alias("sliding_avg")
     )
 
 
@@ -422,24 +419,6 @@ def d1_dedup(spark, sf_dir):
     )
 
 
-@_q(
-    "d3_union_seed_partitions",
-    "SELECT o_orderkey, false AS closed FROM orders WHERE o_orderstatus = 'O' "
-    "UNION ALL SELECT o_orderkey, true AS closed FROM orders WHERE o_orderstatus = 'F'",
-)
-def d3_union(spark, sf_dir):
-    """D3 union of open/closed seed partitions with literal status
-    (update_db.py:44-96)."""
-    o = _t(spark, sf_dir, "orders")
-    open_df = o.filter(F.col("o_orderstatus") == "O").select(
-        "o_orderkey", F.lit(False).alias("closed")
-    )
-    closed_df = o.filter(F.col("o_orderstatus") == "F").select(
-        "o_orderkey", F.lit(True).alias("closed")
-    )
-    return open_df.unionByName(closed_df)
-
-
 # --- U: state transitions as dataflow (SURVEY.md §2.8) --------------------
 
 
@@ -449,22 +428,42 @@ def d3_union(spark, sf_dir):
     "CASE WHEN p.o_orderkey IS NOT NULL AND o.o_orderstatus <> 'F' THEN 'F' "
     "ELSE o.o_orderstatus END AS status_after, "
     "CASE WHEN p.o_orderkey IS NOT NULL AND o.o_orderstatus <> 'F' THEN 'done' "
-    "ELSE NULL END AS completor "
-    "FROM orders o LEFT JOIN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000) p "
-    "ON o.o_orderkey = p.o_orderkey",
+    "ELSE NULL END AS completor, "
+    "CASE WHEN q.o_orderkey IS NOT NULL THEN 'F' ELSE o.o_orderstatus END AS status_u4, "
+    "CASE WHEN q.o_orderkey IS NOT NULL THEN concat('url-', cast(q.o_orderkey AS varchar)) "
+    "ELSE NULL END AS gpu_url_u4 "
+    "FROM orders o "
+    "LEFT JOIN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000) p "
+    "ON o.o_orderkey = p.o_orderkey "
+    "LEFT JOIN (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0) q "
+    "ON o.o_orderkey = q.o_orderkey",
 )
 def u2_mark_done(spark, sf_dir):
-    """U2 markAsDone as a batch merge rewrite (main.py:676-679)."""
+    """U2 markAsDone as a batch merge rewrite (main.py:676-679), fused
+    with U4 admin batch markasdone + per-number url map (main.py:409-416,
+    a row-by-row loop in the reference → one semi-join merge here). Two
+    independent probes against the same frontier snapshot; the *_u4
+    columns carry the admin-path outcome."""
     o = _t(spark, sf_dir, "orders")
     probe = o.filter(F.col("o_totalprice") > 400000).select(
         F.col("o_orderkey").alias("p_key")
     )
-    j = o.join(probe, o.o_orderkey == probe.p_key, "left")
+    admin = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("q_key")
+    )
+    j = o.join(probe, o.o_orderkey == probe.p_key, "left").join(
+        admin, F.col("o_orderkey") == admin.q_key, "left"
+    )
     hit = F.col("p_key").isNotNull() & (F.col("o_orderstatus") != "F")
+    hit4 = F.col("q_key").isNotNull()
     return j.select(
         "o_orderkey",
         F.when(hit, "F").otherwise(F.col("o_orderstatus")).alias("status_after"),
         F.when(hit, "done").otherwise(F.lit(None).cast("string")).alias("completor"),
+        F.when(hit4, "F").otherwise(F.col("o_orderstatus")).alias("status_u4"),
+        F.when(hit4, F.concat(F.lit("url-"), F.col("q_key").cast("string"))).alias(
+            "gpu_url_u4"
+        ),
     )
 
 
@@ -530,14 +529,18 @@ _F4_PARTS = [
     + ", ".join(
         f"CASE WHEN {e} > 0 THEN concat(cast({e} AS varchar), '{u}') END" for e, u in _F4_PARTS
     )
-    + f", concat(cast({_F4_SEC} % 60 AS varchar), 's')) AS human FROM events",
+    + f", concat(cast({_F4_SEC} % 60 AS varchar), 's')) AS human, "
+    "1706659200 - cast(floor(epoch(ts)) AS bigint) AS age_s FROM events",
 )
 def f4_humanize(spark, sf_dir):
-    """F4 duration humanize: divmod y/d/h/m/s chain (main.py:765-780)."""
+    """F4 duration humanize: divmod y/d/h/m/s chain (main.py:765-780),
+    plus F3 epoch-seconds age arithmetic (int last_seen semantics,
+    models.py:74-75) as the ``age_s`` column."""
     e = _t(spark, sf_dir, "events")
     return e.select(
         "event_id",
         agg.humanize_duration(F.floor(F.abs(F.col("value")) * 1000)).alias("human"),
+        (F.lit(1706659200) - F.unix_timestamp("ts")).alias("age_s"),
     )
 
 
@@ -578,23 +581,26 @@ def w1_sessionize(spark, sf_dir):
 @_q(
     "a7_distinct_hosts",
     "SELECT count(DISTINCT o_custkey) AS n_hosts, count(DISTINCT o_orderpriority) "
-    "AS n_priorities FROM orders WHERE o_orderstatus <> 'F'",
+    "AS n_priorities, true AS approx_ok FROM orders WHERE o_orderstatus <> 'F'",
 )
 def a7_distinct(spark, sf_dir):
-    """Exact distinct counts (frontier distinct-host metric)."""
+    """Exact distinct counts (frontier distinct-host metric) + the HLL
+    at-scale variant: ``approx_ok`` asserts the approx_count_distinct
+    sketch (rsd=0.01) lands within 5% of the exact count, so the sketch
+    itself is driver-verified without requiring cross-engine sketch
+    equality (the oracle's expected value is literally ``true``)."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
     return o.agg(
         F.countDistinct("o_custkey").alias("n_hosts"),
         F.countDistinct("o_orderpriority").alias("n_priorities"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", 0.01).cast("double")
+                - F.countDistinct("o_custkey").cast("double")
+            )
+            <= 0.05 * F.countDistinct("o_custkey").cast("double")
+        ).alias("approx_ok"),
     )
-
-
-@_q("a7_approx_distinct_hosts")
-def a7_approx_distinct(spark, sf_dir):
-    """HLL approx distinct (the at-scale variant; rows-only check — sketch
-    values are engine-specific)."""
-    o = _t(spark, sf_dir, "orders")
-    return o.agg(F.approx_count_distinct("o_custkey", 0.01).alias("n_hosts_approx"))
 
 
 @_q(
@@ -749,22 +755,38 @@ def t_token_count(spark, sf_dir):
     )
 
 
+_QF_WORDS = "length(regexp_split_to_array(trim(text), '\\s+'))"
+_QF_PUNCT = "(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))"
+_QF_STOP = tx.lang_score_sql("text", "en")
+_QF_QUALITY = (
+    f"least(CAST({_QF_STOP} AS DOUBLE) / CAST({_QF_WORDS} AS DOUBLE) * 4, 1.0) * 0.4"
+    f" + (CASE WHEN CAST(length(text) AS DOUBLE) / CAST({_QF_WORDS} AS DOUBLE) >= 3"
+    f" AND CAST(length(text) AS DOUBLE) / CAST({_QF_WORDS} AS DOUBLE) <= 10"
+    f" THEN 1.0 ELSE 0.3 END) * 0.3"
+    f" + greatest(0.0, 1.0 - CAST({_QF_PUNCT} AS DOUBLE) / CAST(length(text) AS DOUBLE) * 5) * 0.3"
+)
+
+
 @_q(
     "t_quality_features",
     "SELECT doc_id, length(text) AS n_chars, "
-    "length(regexp_split_to_array(trim(text), '\\s+')) AS n_words, "
-    "round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0 "
-    "/ length(text), 6) AS punct_ratio "
+    f"{_QF_WORDS} AS n_words, "
+    f"round({_QF_PUNCT} * 1.0 / length(text), 6) AS punct_ratio, "
+    f"round({_QF_QUALITY}, 6) AS quality "
     "FROM documents",
 )
 def t_quality(spark, sf_dir):
-    """Quality-scoring features: length / punct ratio (training-data op)."""
+    """Quality-scoring features — length / punct ratio — plus the
+    composite quality score in [0,1] (training-data op; the oracle SQL
+    mirrors the exact double-arithmetic expression tree so the score
+    hash-matches)."""
     f = tx.quality_features(F.col("text"))
     return _t(spark, sf_dir, "documents").select(
         "doc_id",
         f["n_chars"].alias("n_chars"),
         f["n_words"].alias("n_words"),
         F.round(f["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(tx.quality_score(F.col("text")), 6).alias("quality"),
     )
 
 
@@ -826,26 +848,6 @@ def sim_knn(spark, sf_dir):
     )
 
 
-# --- P6: existence probe ---------------------------------------------------
-
-
-@_q(
-    "p6_exists_probe",
-    "SELECT (EXISTS (SELECT 1 FROM orders WHERE o_orderkey = 42)) AS job_exists, "
-    "(EXISTS (SELECT 1 FROM orders WHERE o_orderkey = -1)) AS missing_exists",
-)
-def p6_exists(spark, sf_dir):
-    """P6 existence probe (Client.exists/Job.exists, main.py:520,475) —
-    set-at-once via conditional aggregation instead of limit-1 scans."""
-    o = _t(spark, sf_dir, "orders")
-    return o.agg(
-        (F.sum(F.when(F.col("o_orderkey") == 42, 1).otherwise(0)) > 0).alias("job_exists"),
-        (F.sum(F.when(F.col("o_orderkey") == -1, 1).otherwise(0)) > 0).alias(
-            "missing_exists"
-        ),
-    )
-
-
 # --- U1/U4/U5: claim release, admin batch done, gpu revert -----------------
 
 
@@ -853,64 +855,28 @@ def p6_exists(spark, sf_dir):
     "u1_release_claims",
     "SELECT o.o_orderkey, "
     "CASE WHEN p.o_orderkey IS NOT NULL AND o.o_orderstatus <> 'F' THEN 'O' "
-    "ELSE o.o_orderstatus END AS status_after "
+    "ELSE o.o_orderstatus END AS status_after, "
+    "CASE WHEN o.o_orderstatus = 'P' THEN 'O' ELSE o.o_orderstatus END AS status_u5, "
+    "CASE WHEN o.o_orderstatus = 'P' THEN NULL ELSE o.o_orderpriority END AS stage_artifact "
     "FROM orders o LEFT JOIN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P') p "
     "ON o.o_orderkey = p.o_orderkey",
 )
 def u1_release(spark, sf_dir):
     """U1 stale-claim release: pending→open unless closed
-    (main.py:545-552)."""
+    (main.py:545-552), fused with U5 gpuInvalidDownload revert — stage
+    flags and artifact url nulled (main.py:713-717) — as the *_u5 /
+    stage_artifact columns of the same snapshot rewrite."""
     o = _t(spark, sf_dir, "orders")
     probe = o.filter(F.col("o_orderstatus") == "P").select(
         F.col("o_orderkey").alias("p_key")
     )
     j = o.join(probe, o.o_orderkey == probe.p_key, "left")
     hit = F.col("p_key").isNotNull() & (F.col("o_orderstatus") != "F")
-    return j.select(
-        "o_orderkey", F.when(hit, "O").otherwise(F.col("o_orderstatus")).alias("status_after")
-    )
-
-
-@_q(
-    "u4_admin_batch_done",
-    "SELECT o.o_orderkey, "
-    "CASE WHEN p.o_orderkey IS NOT NULL THEN 'F' ELSE o.o_orderstatus END AS status_after, "
-    "CASE WHEN p.o_orderkey IS NOT NULL THEN concat('url-', cast(p.o_orderkey AS varchar)) "
-    "ELSE NULL END AS gpu_url "
-    "FROM orders o LEFT JOIN (SELECT o_orderkey FROM orders "
-    "WHERE o_orderkey % 97 = 0) p ON o.o_orderkey = p.o_orderkey",
-)
-def u4_admin_batch(spark, sf_dir):
-    """U4 admin batch markasdone with per-number url map — semi-join merge
-    replacing the reference's row-by-row loop (main.py:409-416)."""
-    o = _t(spark, sf_dir, "orders")
-    probe = o.filter(F.col("o_orderkey") % 97 == 0).select(
-        F.col("o_orderkey").alias("p_key")
-    )
-    j = o.join(probe, o.o_orderkey == probe.p_key, "left")
-    hit = F.col("p_key").isNotNull()
-    return j.select(
-        "o_orderkey",
-        F.when(hit, "F").otherwise(F.col("o_orderstatus")).alias("status_after"),
-        F.when(hit, F.concat(F.lit("url-"), F.col("p_key").cast("string"))).alias("gpu_url"),
-    )
-
-
-@_q(
-    "u5_gpu_invalid_revert",
-    "SELECT o_orderkey, "
-    "CASE WHEN o_orderstatus = 'P' THEN 'O' ELSE o_orderstatus END AS status_after, "
-    "CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderpriority END AS stage_artifact "
-    "FROM orders",
-)
-def u5_revert(spark, sf_dir):
-    """U5 gpuInvalidDownload revert: stage flags and artifact url nulled
-    (main.py:713-717)."""
-    o = _t(spark, sf_dir, "orders")
     is_p = F.col("o_orderstatus") == "P"
-    return o.select(
+    return j.select(
         "o_orderkey",
-        F.when(is_p, "O").otherwise(F.col("o_orderstatus")).alias("status_after"),
+        F.when(hit, "O").otherwise(F.col("o_orderstatus")).alias("status_after"),
+        F.when(is_p, "O").otherwise(F.col("o_orderstatus")).alias("status_u5"),
         F.when(is_p, F.lit(None).cast("string"))
         .otherwise(F.col("o_orderpriority"))
         .alias("stage_artifact"),
@@ -951,62 +917,50 @@ def a4_worker_counters(spark, sf_dir):
 
 @_q(
     "o3_seed_sort",
-    "SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS insert_rank "
-    "FROM orders WHERE o_orderstatus = 'O'",
+    "SELECT o_orderkey, closed, row_number() OVER (ORDER BY closed, o_orderkey) "
+    "AS insert_rank FROM ("
+    "SELECT o_orderkey, false AS closed FROM orders WHERE o_orderstatus = 'O' "
+    "UNION ALL SELECT o_orderkey, true AS closed FROM orders WHERE o_orderstatus = 'F')",
 )
 def o3_seed_sort(spark, sf_dir):
-    """O3 seed sort by number before bulk insert (update_db.py:107)."""
-    w = Window.orderBy("o_orderkey")
-    return (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderstatus") == "O")
-        .select("o_orderkey")
-        .withColumn("insert_rank", F.row_number().over(w))
-    )
-
-
-@_q(
-    "o5_deterministic_pick",
-    "SELECT o_orderkey, "
-    f"({oracle_hash_sql('o_orderkey', 7)}) % 3 AS upload_addr_idx FROM orders",
-)
-def o5_pick(spark, sf_dir):
-    """O5 random upload-address choice (main.py:508-510) made
-    deterministic: pmod(seeded hash, n_addresses)."""
+    """O3 seed sort before bulk insert (update_db.py:107) over the D3
+    union of open/closed seed partitions with literal status flags
+    (update_db.py:44-96) — one query covers both; the global rank is a
+    post-union insert order (fine at seed-list size, not a raw-table
+    pattern)."""
     o = _t(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.pmod(oracle_hash(F.col("o_orderkey"), 7), F.lit(3)).alias("upload_addr_idx"),
+    open_df = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", F.lit(False).alias("closed")
     )
+    closed_df = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", F.lit(True).alias("closed")
+    )
+    w = Window.orderBy("closed", "o_orderkey")
+    return open_df.unionByName(closed_df).withColumn("insert_rank", F.row_number().over(w))
 
 
-# --- F3/F6: epoch arithmetic, number formatting ------------------------------
+# --- F6/O5/F7 scalar pack: formatting, deterministic pick, display names ----
 
 
 @_q(
-    "f3_epoch_age",
-    "SELECT event_id, 1706659200 - cast(floor(epoch(ts)) AS bigint) AS age_s FROM events",
-)
-def f3_epoch(spark, sf_dir):
-    """F3 epoch-seconds arithmetic (int last_seen semantics,
-    models.py:74-75)."""
-    e = _t(spark, sf_dir, "events")
-    return e.select(
-        "event_id", (F.lit(1706659200) - F.unix_timestamp("ts")).alias("age_s")
-    )
-
-
-@_q(
-    "f6_format_number",
-    "SELECT o_orderkey, format('{:,}', cast(floor(o_totalprice) AS bigint)) AS pretty "
+    "f_scalar_pack",
+    "SELECT o_orderkey, format('{:,}', cast(floor(o_totalprice) AS bigint)) AS pretty, "
+    f"({oracle_hash_sql('o_orderkey', 7)}) % 3 AS upload_addr_idx, "
+    f"{display_name_sql('o_orderkey')} AS display_name "
     "FROM orders WHERE o_orderkey <= 100",
 )
-def f6_format(spark, sf_dir):
-    """F6 '{:,}' thousands formatting (main.py:154,259)."""
+def f_scalar_pack(spark, sf_dir):
+    """Scalar-function pack over one projection: F6 '{:,}' thousands
+    formatting (main.py:154,259), O5 deterministic upload-address pick
+    (main.py:508-510, pmod(seeded hash, n)), and F7 two-word display
+    names (name.py:7-11, seeded-hash word picks instead of
+    random.choice)."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
     return o.select(
         "o_orderkey",
         F.format_number(F.floor(F.col("o_totalprice")).cast("bigint"), 0).alias("pretty"),
+        F.pmod(oracle_hash(F.col("o_orderkey"), 7), F.lit(3)).alias("upload_addr_idx"),
+        display_name(F.col("o_orderkey")).alias("display_name"),
     )
 
 
@@ -1097,8 +1051,10 @@ def s6_freshness(spark, sf_dir):
 def f9_canonicalize(spark, sf_dir):
     """F9: canonicalize trapped URLs (mixed-case host+scheme, default
     port, fragment, unsorted query) — the oracle states the expected
-    canonical form directly."""
-    from crawlingathome_server_spark.functions.urls import canonicalize_url
+    canonical form directly. Runs the JVM ``canonicalize_url_expr``
+    (the flagship hot-path variant, incl. built-in query-param sort);
+    the pandas twin is equivalence-tested in pytest."""
+    from crawlingathome_server_spark.functions.urls import canonicalize_url_expr
 
     docs = _t(spark, sf_dir, "documents")
     trapped = docs.select(
@@ -1111,29 +1067,36 @@ def f9_canonicalize(spark, sf_dir):
             F.lit("?b=2&a=1#frag"),
         ).alias("url"),
     )
-    return trapped.select("doc_id", canonicalize_url(F.col("url")).alias("canon_url"))
+    return trapped.select("doc_id", canonicalize_url_expr(F.col("url")).alias("canon_url"))
 
 
-# --- training-data ops without SQL oracles (rows-only driver check) --------
+# --- training-data LSH/sketch ops, hash-verified via the md5-parity
+# --- variants (crawlingathome_server_spark/oracles.py) ----------------------
 
 
-@_q("dedup_minhash_lsh")
+@_q("dedup_minhash_lsh", _oracles_mod.minhash_lsh_sql())
 def dedup_minhash(spark, sf_dir):
-    """MinHash+LSH near-dup pairs on documents (pytest covers planted-dup
-    recall; no ANSI-SQL oracle for SipHash minhash)."""
+    """MinHash+LSH near-dup pairs on documents. Runs the REAL pipeline
+    (signatures → banding → capped buckets → candidate pairs → exact
+    Jaccard verify) in md5-parity mode, so the DuckDB oracle reproduces
+    every stage bit-identically — banding and bucket caps included.
+    The at-scale default (mode='expr', xxhash64) is plan-identical."""
     from crawlingathome_server_spark.operators.dedup import minhash_dedup
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_dedup(docs, threshold=0.5)
+    return minhash_dedup(docs, threshold=0.5, mode="md5")
 
 
-@_q("dedup_simhash")
+@_q("dedup_simhash", _oracles_mod.simhash_sql())
 def dedup_simhash(spark, sf_dir):
-    """SimHash hamming-distance near-dup candidates on documents."""
+    """SimHash hamming-distance near-dup candidates on documents —
+    md5-parity 56-bit signature, pigeonhole blocks (n_blocks =
+    max_hamming+1 auto), exact bit_count(xor) filter; hash-verified
+    against the DuckDB mirror."""
     from crawlingathome_server_spark.operators.dedup import simhash_candidates
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_candidates(docs, max_hamming=10)
+    return simhash_candidates(docs, max_hamming=7, hash_mode="md5", n_bits=56)
 
 
 @_q(
@@ -1165,37 +1128,50 @@ def dedup_ngram(spark, sf_dir):
     )
 
 
-@_q("sim_ann_lsh")
+@_q("sim_ann_lsh", _oracles_mod.ann_lsh_sql())
 def sim_ann_lsh(spark, sf_dir):
-    """LSH-bucketed approximate top-k (the at-scale ANN path; recall
-    checked in pytest against brute force, no SQL oracle)."""
+    """LSH-bucketed approximate top-k ANN — sign LSH over md5-derived ±1
+    hyperplanes evaluated JVM-side (same IEEE fold order as the oracle),
+    bucket equi-join candidates, exact cosine re-score. Recall vs brute
+    force is pytest-checked; the driver hash-checks the full bucket →
+    candidate → rank pipeline."""
     from crawlingathome_server_spark.operators.similarity import lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 5)
-    return lsh_topk(e, probes, dim=64, k=10)
+    topk = lsh_topk(e, probes, dim=64, k=10, sig_mode="pm1")
+    return topk.select(
+        "probe_id", "cand_id", F.round(F.col("cosine_sim"), 6).alias("cosine_sim")
+    )
 
 
-@_q("urlseen_bloom_probe")
+@_q("urlseen_bloom_probe", _oracles_mod.bloom_probe_sql())
 def urlseen_bloom(spark, sf_dir):
     """D2 partitioned-Bloom probe: which candidate docs are maybe-seen
-    (seen = even doc_ids). Pytest proves no-false-negatives + FPR."""
+    (seen = even doc_ids). md5-parity hashing makes the oracle predict
+    the filter's exact bit pattern, so even false positives must match —
+    the strongest possible check of the bucketed bitmap + double-hashing
+    implementation. Pytest additionally proves no-false-negatives + FPR."""
     from crawlingathome_server_spark.operators import urlseen
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.concat(F.lit("http://h/"), F.col("doc_id")).alias("canon_url")
     )
     seen = docs.filter(F.col("doc_id") % 2 == 0)
-    flt = urlseen.build_seen_filter(urlseen.hash_urls(seen))
-    return urlseen.probe_seen_filter(urlseen.hash_urls(docs), flt).select(
-        "doc_id", "maybe_seen"
-    )
+    flt = urlseen.build_seen_filter(urlseen.hash_urls(seen, hash_mode="md5"))
+    return urlseen.probe_seen_filter(
+        urlseen.hash_urls(docs, hash_mode="md5"), flt
+    ).select("doc_id", "maybe_seen")
 
 
-@_q("t_fingerprint")
+@_q(
+    "t_fingerprint",
+    f"SELECT doc_id, {char_fingerprint_sql('text')} AS fingerprint FROM documents",
+)
 def t_fingerprint(spark, sf_dir):
-    """Rolling-hash document fingerprints (polynomial hash; pytest checks
-    purity/determinism)."""
+    """Rolling polynomial document fingerprints — pure JVM higher-order
+    expression (no Python), hash-verified against the DuckDB
+    list_reduce mirror."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fingerprint"))
 
@@ -1210,17 +1186,6 @@ def t_token_bpeish(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", tx.token_count_bpeish(F.col("text")).alias("n_tokens_bpeish")
-    )
-
-
-@_q(
-    "t_quality_score",
-    None,  # composite double chain; float-rounding parity too brittle for hash compare
-)
-def t_quality_score(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.round(tx.quality_score(F.col("text")), 6).alias("quality")
     )
 
 

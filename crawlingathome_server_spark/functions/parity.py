@@ -1,0 +1,102 @@
+"""Cross-engine (Spark ⇄ ANSI-SQL/DuckDB) hash parity toolkit.
+
+The driver's correctness gate runs every query against a DuckDB oracle,
+so every hash an operator's *output* depends on must be computable
+bit-identically in both engines. xxhash64 (Spark) and DuckDB's hash()
+are different algorithms — but **md5 is identical everywhere**, and both
+engines do exact 64-bit integer arithmetic. This module builds 64-bit
+hash primitives from those two facts:
+
+- ``md5_long`` / ``md5_long_sql``: first ``n_hex`` hex digits of
+  md5(text) as a non-negative BIGINT (n_hex ≤ 15 keeps it < 2^60).
+- ``fold_hash`` / ``fold_hash_sql``: order-sensitive polynomial fold of
+  an integer array mod a 31-bit prime — used to combine LSH band values
+  into a bucket key without xxhash64.
+- ``char_fingerprint`` / ``char_fingerprint_sql``: rolling polynomial
+  hash over unicode codepoints — the document fingerprint (replaces the
+  r01 per-byte Python loop; this one is a pure JVM higher-order
+  expression).
+
+These are the *oracle-parity* hash family. The at-scale default for
+ops whose output is not hash-compared (flagship frontier, bench paths)
+remains xxhash64 — one JVM intrinsic vs ~4 for md5+conv.
+
+Reference analogue: the server's once-only/ordering guarantees come
+from Postgres row state (models.py:31-32); here they come from
+deterministic hashing, which is why hash reproducibility is a
+first-class contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 31-bit Mersenne prime: affine combine (acc*MULT + x) % FOLD_P stays
+# below 2^63 for acc < 2^31 and MULT < 2^32 — no overflow in either
+# engine's checked BIGINT arithmetic.
+FOLD_P = (1 << 31) - 1
+FOLD_MULT = 2654435761  # Knuth's 2^32 golden-ratio multiplier
+
+# Fingerprint polynomial: acc < FP_MOD (< 2^40) keeps acc*FP_BASE < 2^60.
+FP_BASE = 1000003
+FP_MOD = 999999999989
+
+
+def md5_long(col: Column, n_hex: int = 15) -> Column:
+    """First ``n_hex`` md5 hex digits as a BIGINT (JVM built-ins only)."""
+    return F.conv(F.substring(F.md5(col), 1, n_hex), 16, 10).cast("long")
+
+
+def md5_long_sql(expr: str, n_hex: int = 15) -> str:
+    """DuckDB twin of :func:`md5_long`."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, {n_hex})) AS BIGINT)"
+
+
+def fold_hash(values: list[Column | int]) -> Column:
+    """Order-sensitive combine of integer expressions into [0, 2^31-1)."""
+    acc: Column = F.lit(0).cast("long")
+    for v in values:
+        c = F.lit(v).cast("long") if isinstance(v, int) else v.cast("long")
+        acc = (acc * F.lit(FOLD_MULT) + c) % F.lit(FOLD_P)
+    return acc
+
+
+def fold_hash_sql(exprs: list[str]) -> str:
+    """DuckDB twin of :func:`fold_hash` (same fold order)."""
+    acc = "CAST(0 AS BIGINT)"
+    for e in exprs:
+        acc = f"((({acc}) * {FOLD_MULT} + CAST({e} AS BIGINT)) % {FOLD_P})"
+    return acc
+
+
+def char_fingerprint(text: Column) -> Column:
+    """Rolling polynomial hash over codepoints — pure JVM expression.
+
+    ``h = fold(codepoints, h*FP_BASE + c mod FP_MOD)``. NULL → NULL;
+    empty text → 0 (guarded: Spark ``ascii('')`` is 0 but DuckDB
+    ``unicode('')`` is -1, so both sides special-case '').
+    """
+    chars = F.split(text, "")
+    h = F.aggregate(
+        F.transform(chars, lambda c: F.ascii(c)),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(FP_BASE) + c) % F.lit(FP_MOD),
+    )
+    return F.when(text.isNull(), F.lit(None).cast("long")).otherwise(
+        F.when(F.length(text) == 0, F.lit(0).cast("long")).otherwise(h)
+    )
+
+
+def char_fingerprint_sql(expr: str) -> str:
+    """DuckDB twin of :func:`char_fingerprint`."""
+    chars = f"regexp_split_to_array({expr}, '')"
+    h = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({chars}, c -> CAST(unicode(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * {FP_BASE} + c) % {FP_MOD})"
+    )
+    return (
+        f"CASE WHEN {expr} IS NULL THEN NULL "
+        f"WHEN length({expr}) = 0 THEN 0 ELSE {h} END"
+    )

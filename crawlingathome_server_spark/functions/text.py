@@ -175,20 +175,12 @@ def token_count_bpeish(texts: pd.Series) -> pd.Series:
 
 # --- document fingerprinting (rolling polynomial hash) --------------------
 
-_FP_BASE = 1000003
-_FP_MOD = (1 << 61) - 1
 
+def fingerprint(text: Column) -> Column:
+    """Rolling polynomial hash over codepoints — a pure JVM higher-order
+    expression (functions/parity.py), order-sensitive like the classic
+    Rabin-Karp fingerprint. Replaces the r01 per-byte Python loop; also
+    bit-reproducible in ANSI SQL for the driver oracle."""
+    from .parity import char_fingerprint
 
-def _fingerprint_one(t: str | None) -> int | None:
-    if t is None:
-        return None
-    h = 0
-    for b in t.encode("utf-8"):
-        h = (h * _FP_BASE + b) % _FP_MOD
-    return h
-
-
-@F.pandas_udf(T.LongType())
-def fingerprint(texts: pd.Series) -> pd.Series:
-    """Rolling polynomial hash of the full text (mod 2^61-1)."""
-    return texts.map(_fingerprint_one)
+    return char_fingerprint(text)

@@ -58,27 +58,42 @@ def host_of(url: Column) -> Column:
 
 
 def canonicalize_url_expr(url: Column) -> Column:
-    """Builtin-only canonicalization (whole-stage codegen; no Python).
+    """Builtin-only canonicalization — whole-stage codegen, no Python.
 
-    Lowercases scheme+host, strips fragment, strips default ports, drops
-    trailing ``?``. Query-param sorting needs the pandas path below.
+    Lowercases scheme+host, strips fragment, strips default ports,
+    SORTS query params (``sort_array`` over the split query — UTF8
+    binary order == Python's codepoint sort), drops empty params and
+    trailing ``?``. Semantically equal to the pandas
+    :func:`canonicalize_url` on scheme://host[:port]/path?query URLs
+    (equivalence pytest-checked); the pandas variant additionally
+    handles exotic authority forms (userinfo, IPv6 literals) and is kept
+    as the oracle twin. This is the flagship hot path: it runs once per
+    discovered URL (reference analogue: every shard URL build,
+    update_db.py:46), so it must never leave the JVM.
     """
     no_frag = F.regexp_replace(url, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host = F.lower(F.parse_url(no_frag, F.lit("HOST")))
-    port = F.parse_url(no_frag, F.lit("PORT"))
+    # Spark's parse_url has no PORT key — extract it from AUTHORITY
+    # (host[:port]); empty string means no explicit port.
+    port = F.regexp_extract(
+        F.coalesce(F.parse_url(no_frag, F.lit("AUTHORITY")), F.lit("")), r":(\d+)$", 1
+    )
     path = F.coalesce(F.parse_url(no_frag, F.lit("PATH")), F.lit(""))
     query = F.parse_url(no_frag, F.lit("QUERY"))
     default_port = (
         ((scheme == "http") & (port == "80")) | ((scheme == "https") & (port == "443"))
     )
     port_part = F.when(
-        port.isNull() | default_port, F.lit("")
+        (port == "") | default_port, F.lit("")
     ).otherwise(F.concat(F.lit(":"), port))
     path_part = F.when(path == "", F.lit("/")).otherwise(path)
+    sorted_query = F.array_join(
+        F.sort_array(F.filter(F.split(query, "&"), lambda q: q != "")), "&"
+    )
     query_part = F.when(
-        query.isNull() | (query == ""), F.lit("")
-    ).otherwise(F.concat(F.lit("?"), query))
+        query.isNull() | (sorted_query == ""), F.lit("")
+    ).otherwise(F.concat(F.lit("?"), sorted_query))
     return F.concat(scheme, F.lit("://"), host, port_part, path_part, query_part)
 
 

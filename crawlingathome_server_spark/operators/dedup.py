@@ -80,6 +80,33 @@ def minhash_signatures(
     return docs.select(F.col(id_col).alias("doc_id"), _sig(F.col(text_col)).alias("signature"))
 
 
+def shingle_expr(text_col: str, shingle_k: int):
+    """Word k-shingles as a JVM array expression (shared by both expr
+    hash modes; SQL twin in oracles.shingles_sql)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.filter(
+        F.transform(
+            words, lambda x, i: F.array_join(F.slice(words, i + 1, shingle_k), " ")
+        ),
+        lambda g: F.size(F.split(g, " ")) >= shingle_k,
+    )
+    return F.when(F.size(words) < shingle_k, F.array(F.array_join(words, " "))).otherwise(
+        grams
+    )
+
+
+def shingle_hashes_expr(text_col: str, shingle_k: int, hash_mode: str = "xxhash64"):
+    """Array of shingle hashes in [0, 2^31-1). ``hash_mode='md5'`` is the
+    oracle-parity family (functions/parity.py); 'xxhash64' is the
+    at-scale default (one JVM intrinsic per shingle)."""
+    from ..functions.parity import md5_long
+
+    shingles = shingle_expr(text_col, shingle_k)
+    if hash_mode == "md5":
+        return F.transform(shingles, lambda s: md5_long(s) % F.lit(_MERSENNE))
+    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+
+
 def minhash_signatures_expr(
     docs: DataFrame,
     *,
@@ -88,36 +115,37 @@ def minhash_signatures_expr(
     n_hashes: int = 64,
     shingle_k: int = 3,
     seed: int = 7,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signatures computed fully JVM-side: shingles via
-    higher-order array functions, xxhash64 per shingle, one
+    higher-order array functions, one hash per shingle, one
     ``array_min(transform(...))`` per hash function — whole-stage
-    codegen, no Arrow transfer. Same LSH contract as the pandas variant
-    (different base hash → different but equally valid signatures)."""
+    codegen, no Arrow transfer. ``hash_mode='md5'`` makes the signature
+    bit-reproducible in ANSI SQL (oracles.minhash_lsh_sql)."""
     a, b = _perm_params(n_hashes, seed)
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = F.filter(
-        F.transform(
-            words, lambda x, i: F.array_join(F.slice(words, i + 1, shingle_k), " ")
-        ),
-        lambda g: F.size(F.split(g, " ")) >= shingle_k,
-    )
-    shingles = F.when(F.size(words) < shingle_k, F.array(F.array_join(words, " "))).otherwise(
-        grams
-    )
-    hashed = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))).alias("sh"),
-    )
-    mins = [
-        F.array_min(
-            F.transform(
-                F.col("sh"), lambda x: (x * int(a[i]) + int(b[i])) % F.lit(_MERSENNE)
+    # Single-pass fold: ONE base hash per shingle, then all n_hashes
+    # affine mins updated together via a nested zip_with over the
+    # accumulator array. (The naive "64 × array_min(transform(sh, ...))"
+    # formulation recomputes the base-hash array per hash function after
+    # CollapseProject inlines it — measured 3× slower end-to-end.)
+    ab = F.array(
+        *[
+            F.struct(
+                F.lit(int(a[i])).cast("long").alias("a"),
+                F.lit(int(b[i])).cast("long").alias("b"),
             )
-        )
-        for i in range(n_hashes)
-    ]
-    return hashed.select("doc_id", F.array(*mins).alias("signature"))
+            for i in range(n_hashes)
+        ]
+    )
+    init = F.array(*[F.lit(_MERSENNE).cast("long")] * n_hashes)
+    sig = F.aggregate(
+        shingle_hashes_expr(text_col, shingle_k, hash_mode),
+        init,
+        lambda acc, x: F.zip_with(
+            ab, acc, lambda p, m: F.least(m, (x * p["a"] + p["b"]) % F.lit(_MERSENNE))
+        ),
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -126,29 +154,44 @@ def lsh_candidate_pairs(
     n_bands: int = 16,
     rows_per_band: int = 4,
     max_bucket: int = 200,
+    bucket_mode: str = "xxhash64",
 ) -> DataFrame:
     """Band the signatures, bucket-join, emit candidate (a, b) pairs.
 
     One explode (docs × n_bands rows), one groupBy shuffle on the band
     hash, pairs generated per bucket with a bounded per-bucket cap (hot
     boilerplate buckets are truncated, logged via ``bucket_truncated``).
+    ``bucket_mode='fold'`` combines band values with the SQL-expressible
+    polynomial fold (functions/parity.py) instead of xxhash64.
     """
-    bands = signatures.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(band),
-                        *[
-                            F.col("signature")[band * rows_per_band + r]
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for band in range(n_bands)
+    if bucket_mode == "fold":
+        from ..functions.parity import fold_hash
+
+        def _bucket(band: int):
+            return fold_hash(
+                [band + 1]
+                + [
+                    F.col("signature")[band * rows_per_band + r]
+                    for r in range(rows_per_band)
                 ]
             )
-        ).alias("band", "bucket_hash"),
+
+    else:
+
+        def _bucket(band: int):
+            return F.xxhash64(
+                F.lit(band),
+                *[
+                    F.col("signature")[band * rows_per_band + r]
+                    for r in range(rows_per_band)
+                ],
+            )
+
+    bands = signatures.select(
+        "doc_id",
+        F.posexplode(F.array(*[_bucket(band) for band in range(n_bands)])).alias(
+            "band", "bucket_hash"
+        ),
     )
     # Cap hot buckets BEFORE collect_list: a boilerplate mega-bucket must
     # never materialize whole in an aggregation buffer. row_number is a
@@ -221,6 +264,42 @@ def jaccard_verify(
     )
 
 
+def jaccard_verify_expr(
+    pairs: DataFrame,
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs, fully JVM-side: the
+    distinct shingle-hash sets are built with higher-order array
+    functions and compared with array_intersect/array_union — no Python
+    at all (and bit-reproducible in SQL when ``hash_mode='md5'``)."""
+    d = docs.select(
+        F.col(id_col),
+        F.array_distinct(shingle_hashes_expr(text_col, shingle_k, hash_mode)).alias("hs"),
+    )
+    joined = (
+        pairs.join(d.withColumnsRenamed({id_col: "a", "hs": "hs_a"}), on="a")
+        .join(d.withColumnsRenamed({id_col: "b", "hs": "hs_b"}), on="b")
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size(F.array_union("hs_a", "hs_b"))
+    return (
+        joined.withColumn(
+            "jaccard",
+            F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+                F.lit(1.0)
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
 def minhash_dedup(
     docs: DataFrame,
     *,
@@ -231,24 +310,48 @@ def minhash_dedup(
     n_bands: int = 16,
     shingle_k: int = 3,
     seed: int = 7,
-    use_expr: bool = False,
+    mode: str = "expr",
 ) -> DataFrame:
     """Full near-dup pipeline → (a, b, jaccard) verified duplicate pairs.
 
-    ``use_expr`` switches signature computation to the pure-JVM variant;
-    end-to-end cost is dominated by the band/pair/verify stages, so both
-    perform similarly — the JVM path exists for clusters where Python
-    workers are the constrained resource.
+    ``mode``:
+    - 'expr' (default): pure-JVM xxhash64 signatures + JVM exact-Jaccard
+      verify — the at-scale path, whole-stage codegen end to end.
+    - 'md5': same plan shape with the SQL-expressible md5/fold hash
+      family — every stage (signatures, banding, candidate pairs, exact
+      verify) reproduces bit-identically in DuckDB
+      (oracles.minhash_lsh_sql), which is how the driver hash-checks
+      this operator.
+    - 'pandas': the Arrow-batched SipHash variant (kept as an
+      independent implementation for cross-checking recall in tests).
     """
-    sig_fn = minhash_signatures_expr if use_expr else minhash_signatures
-    sigs = sig_fn(
-        docs, text_col=text_col, id_col=id_col, n_hashes=n_hashes, shingle_k=shingle_k, seed=seed
+    from ..util import spread
+
+    docs = spread(docs)
+    if mode == "pandas":
+        sigs = minhash_signatures(
+            docs, text_col=text_col, id_col=id_col, n_hashes=n_hashes,
+            shingle_k=shingle_k, seed=seed,
+        )
+        pairs = lsh_candidate_pairs(
+            sigs, n_bands=n_bands, rows_per_band=n_hashes // n_bands
+        )
+        return jaccard_verify(
+            pairs, docs, text_col=text_col, id_col=id_col,
+            shingle_k=shingle_k, threshold=threshold,
+        )
+    hash_mode = "md5" if mode == "md5" else "xxhash64"
+    sigs = minhash_signatures_expr(
+        docs, text_col=text_col, id_col=id_col, n_hashes=n_hashes,
+        shingle_k=shingle_k, seed=seed, hash_mode=hash_mode,
     )
     pairs = lsh_candidate_pairs(
-        sigs, n_bands=n_bands, rows_per_band=n_hashes // n_bands
+        sigs, n_bands=n_bands, rows_per_band=n_hashes // n_bands,
+        bucket_mode="fold" if mode == "md5" else "xxhash64",
     )
-    return jaccard_verify(
-        pairs, docs, text_col=text_col, id_col=id_col, shingle_k=shingle_k, threshold=threshold
+    return jaccard_verify_expr(
+        pairs, docs, text_col=text_col, id_col=id_col,
+        shingle_k=shingle_k, threshold=threshold, hash_mode=hash_mode,
     )
 
 
@@ -319,6 +422,48 @@ def _block_ranges(n_bits: int, n_blocks: int) -> list[tuple[int, int]]:
     return out
 
 
+def simhash_md5_expr(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 56,
+) -> DataFrame:
+    """SimHash with the SQL-parity hash family (md5 word hashes, ≤60
+    bits): per-row higher-order expressions only — each bit's ±1 vote is
+    one ``aggregate`` over the word-hash array, no explode, no shuffle.
+    Bit-reproducible in DuckDB (oracles.simhash_sql)."""
+    from ..functions.parity import md5_long
+
+    n_hex = (n_bits + 3) // 4
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    hs = F.transform(words, lambda w: md5_long(w, n_hex=n_hex))
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(n_bits)])
+    # Single fold over the word hashes: ONE md5 per word, all n_bits ±1
+    # votes updated together (the per-bit-aggregate formulation
+    # recomputes md5 per bit after projection collapse — ~n_bits× work).
+    votes = F.aggregate(
+        hs,
+        F.array(*[F.lit(0).cast("long")] * n_bits),
+        lambda acc, x: F.zip_with(
+            powers,
+            acc,
+            lambda p, v: v
+            + F.when(x.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            powers,
+            votes,
+            lambda p, v: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))
+
+
 def simhash_candidates(
     docs: DataFrame,
     *,
@@ -327,6 +472,8 @@ def simhash_candidates(
     max_hamming: int = 3,
     n_blocks: int | None = None,
     use_expr: bool = True,
+    hash_mode: str = "xxhash64",
+    n_bits: int = 64,
 ) -> DataFrame:
     """Near-dup candidates: docs sharing ≥1 of ``n_blocks`` signature
     blocks (pigeonhole: hamming ≤ n_blocks-1 guarantees a shared block),
@@ -334,7 +481,9 @@ def simhash_candidates(
 
     ``n_blocks`` defaults to ``max_hamming + 1`` so the pigeonhole recall
     guarantee always holds; passing a smaller value is an error (it would
-    silently miss pairs)."""
+    silently miss pairs). ``hash_mode='md5'`` uses the SQL-parity
+    signature (n_bits ≤ 60) so the full candidate set reproduces in
+    DuckDB."""
     if n_blocks is None:
         n_blocks = max_hamming + 1
     if n_blocks < max_hamming + 1:
@@ -342,9 +491,16 @@ def simhash_candidates(
             f"n_blocks={n_blocks} cannot guarantee recall for "
             f"max_hamming={max_hamming}; need n_blocks >= max_hamming+1"
         )
-    if use_expr:
+    from ..util import spread
+
+    docs = spread(docs)
+    if hash_mode == "md5":
+        sh = simhash_md5_expr(docs, text_col=text_col, id_col=id_col, n_bits=n_bits)
+    elif use_expr:
+        n_bits = 64
         sh = simhash64_expr(docs, text_col=text_col, id_col=id_col)
     else:
+        n_bits = 64
         sh = docs.select(
             F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("simhash")
         )
@@ -356,7 +512,7 @@ def simhash_candidates(
                 *[
                     F.shiftrightunsigned(F.col("simhash"), start)
                     .bitwiseAND(F.lit((1 << width) - 1))
-                    for start, width in _block_ranges(64, n_blocks)
+                    for start, width in _block_ranges(n_bits, n_blocks)
                 ]
             )
         ).alias("block_idx", "block_val"),

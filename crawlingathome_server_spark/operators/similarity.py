@@ -107,6 +107,66 @@ def lsh_signatures(
     )
 
 
+def pm1_planes(dim: int, n_planes: int, seed: int = 13) -> list[list[int]]:
+    """±1 hyperplanes derived from md5 — the SQL-parity plane family.
+
+    md5 is identical in Python's hashlib, Spark, and DuckDB, so these
+    planes (and therefore the sign-LSH buckets) can be reproduced
+    bit-for-bit by the oracle (oracles.ann_lsh_sql). Sign LSH with
+    Rademacher (±1) entries has the same locality guarantees as Gaussian
+    planes (Achlioptas 2001 sparse random projections).
+    """
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"plane:{seed}:{p}:{j}".encode()).hexdigest()[:15], 16) & 1)
+            * 2
+            - 1
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_signatures_pm1(
+    embeddings: DataFrame,
+    *,
+    dim: int,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, bucket) sign-LSH rows computed entirely JVM-side with
+    ±1 planes: one fold per plane (projection = Σ ±v_j in array order —
+    the same IEEE sequence the SQL oracle folds), no Python, no Arrow."""
+    planes = pm1_planes(dim, n_planes, seed)
+    bits_per_band = n_planes // n_bands
+    v = as_double(F.col(vec_col))
+
+    def _proj(p: int) -> Column:
+        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+        return F.aggregate(
+            F.zip_with(v, plane, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    buckets = []
+    for band in range(n_bands):
+        b = F.lit(0)
+        for r in range(bits_per_band):
+            b = b + F.when(_proj(band * bits_per_band + r) > 0, F.lit(1 << r)).otherwise(
+                F.lit(0)
+            )
+        buckets.append(b.cast("int"))
+    return embeddings.select(
+        F.col(id_col), F.posexplode(F.array(*buckets)).alias("band", "bucket")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     probes: DataFrame,
@@ -118,15 +178,25 @@ def lsh_topk(
     seed: int = 13,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sig_mode: str = "numpy",
 ) -> DataFrame:
     """ANN top-k: candidates = vectors sharing ≥1 LSH band bucket with the
     probe, scored exactly, ranked per probe. Recall < 1 by design; the
-    bucket join replaces the cross join (the 100 TB path)."""
-    cand_sig = lsh_signatures(
+    bucket join replaces the cross join (the 100 TB path).
+
+    ``sig_mode='numpy'`` (default): Gaussian planes, one BLAS matmul per
+    Arrow batch — fastest for wide embeddings. ``'pm1'``: md5-derived ±1
+    planes evaluated JVM-side — SQL-reproducible (the driver-checked
+    variant) and Python-free."""
+    from ..util import spread
+
+    embeddings = spread(embeddings)
+    sig_fn = lsh_signatures_pm1 if sig_mode == "pm1" else lsh_signatures
+    cand_sig = sig_fn(
         embeddings, dim=dim, n_planes=n_planes, n_bands=n_bands, seed=seed,
         id_col=id_col, vec_col=vec_col,
     ).withColumnRenamed(id_col, "cand_id")
-    probe_sig = lsh_signatures(
+    probe_sig = sig_fn(
         probes, dim=dim, n_planes=n_planes, n_bands=n_bands, seed=seed,
         id_col=id_col, vec_col=vec_col,
     ).withColumnRenamed(id_col, "probe_id")

@@ -139,8 +139,22 @@ def probe_seen_filter(
     )
 
 
-def hash_urls(df: DataFrame, url_col: str = "canon_url", out_col: str = "url_hash") -> DataFrame:
-    """Stamp the 64-bit url hash (xxhash64, JVM-side)."""
+def hash_urls(
+    df: DataFrame,
+    url_col: str = "canon_url",
+    out_col: str = "url_hash",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Stamp the 64-bit url hash (JVM-side).
+
+    'xxhash64' is the at-scale default; 'md5' uses the parity family
+    (functions/parity.py) so the whole bloom filter — bucket choice, bit
+    positions, and therefore even its false positives — reproduces
+    bit-identically in the DuckDB oracle (oracles.bloom_probe_sql)."""
+    if hash_mode == "md5":
+        from ..functions.parity import md5_long
+
+        return df.withColumn(out_col, md5_long(F.col(url_col)))
     return df.withColumn(out_col, seeded_hash64(F.col(url_col), seed=0))
 
 

@@ -23,7 +23,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.urls import canonicalize_url, host_of, seeded_hash64
+from ..functions.urls import canonicalize_url_expr, host_of, seeded_hash64
 from ..operators import aggregates as agg
 from ..operators import claim as claim_op
 from ..operators import transitions as tr
@@ -44,8 +44,11 @@ def expand_frontier(
 ) -> DataFrame:
     """The flagship query: next round's fetch set from crawled pages.
 
-    Steps (all JVM-side except the canonicalize pandas UDF):
-      1. canonicalize + hash each discovered URL (F9);
+    Steps (ALL JVM-side — zero Python on the hot path; plan-asserted in
+    tests/test_plans.py: no ArrowEvalPython/BatchEvalPython below the
+    claim):
+      1. canonicalize + hash each discovered URL (F9, builtin-expression
+         canonicalizer incl. query-param sort);
       2. dedup exact on canonical form (D1) — first-wins by warc_ts;
       3. drop already-seen URLs (D2: bloom ``maybe_seen`` at scale or
          exact anti-join);
@@ -67,7 +70,7 @@ def expand_frontier(
 
     canon = (
         candidates
-        .withColumn("canon_url", canonicalize_url(F.col("url")))
+        .withColumn("canon_url", canonicalize_url_expr(F.col("url")))
         .withColumn("host", host_of(F.col("canon_url")))
         .withColumn("url_hash", seeded_hash64(F.col("canon_url"), seed=0))
     )

@@ -36,17 +36,25 @@ def test_canonicalize_udf_matches_pure(spark):
 
 
 def test_canonicalize_expr_agrees_on_simple_urls(spark):
-    # builtin-expression fast path: equal to the pandas path when query
-    # params are already sorted
+    # builtin-expression hot path == pandas path on scheme://host/path?query
+    # URLs — including UNSORTED query params (sort_array == Python sorted)
     df = spark.createDataFrame(
-        [("HTTP://Ex.COM:80/a?a=1&b=2#f",), ("https://ex.com:443/x?a=1",)], ["url"]
+        [
+            ("HTTP://Ex.COM:80/a?a=1&b=2#f",),
+            ("https://ex.com:443/x?a=1",),
+            ("HTTP://Ex.COM/a?b=2&a=1&c=0#frag",),
+            ("http://ex.com:8080/p?z=9&y=8",),
+            ("https://Ex.Com",),
+            ("http://ex.com/p?b=2&&a=1",),
+        ],
+        ["url"],
     )
     got = df.select(
         canonicalize_url(F.col("url")).alias("py"),
         canonicalize_url_expr(F.col("url")).alias("jvm"),
     ).collect()
     for r in got:
-        assert r["py"] == r["jvm"]
+        assert r["py"] == r["jvm"], r
 
 
 def test_extract_text_byte_identical(spark):
@@ -99,12 +107,19 @@ def test_token_counts(spark):
     assert rows[1]["ws"] == 2 and rows[1]["bpe"] == 5  # a , b c !
 
 
-def test_fingerprint_pure():
-    s = pd.Series(["abc", "abc", "abd", None])
-    out = tx.fingerprint.func(s)
+def test_fingerprint_pure(spark):
+    df = spark.createDataFrame(
+        [("abc",), ("abc",), ("abd",), (None,), ("",)], ["t"]
+    )
+    out = [r["h"] for r in df.select(tx.fingerprint(F.col("t")).alias("h")).collect()]
     assert out[0] == out[1]
     assert out[0] != out[2]
-    assert pd.isna(out[3])
+    assert out[3] is None
+    assert out[4] == 0
+    # order sensitivity (rolling hash, not a bag-of-chars sum)
+    pair = spark.createDataFrame([("ab",), ("ba",)], ["t"])
+    h = [r["h"] for r in pair.select(tx.fingerprint(F.col("t")).alias("h")).collect()]
+    assert h[0] != h[1]
 
 
 def test_quality_score_ranges(spark):

@@ -88,6 +88,19 @@ def test_expand_frontier_has_no_cartesian(spark):
     assert "CartesianProduct" not in p, p
 
 
+def test_expand_frontier_is_python_free(spark):
+    """The flagship hot path (canonicalize → hash → dedup → claim) must
+    never leave the JVM: at 10^10 URLs a pandas UDF here would be the
+    engine's bottleneck (r01 verdict item #3)."""
+    from crawlingathome_server_spark.plans.rounds import expand_frontier
+
+    pages = datagen.pages(spark, seed=3, n=100)
+    rb = datagen.robots(spark)
+    p = plan_of(expand_frontier(pages, rb, seed=1))
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "PythonUDF", "FlatMapGroupsInPandas"):
+        assert marker not in p, marker
+
+
 def test_knn_cross_join_is_broadcast_not_cartesian(spark):
     import sys
 
