@@ -113,6 +113,26 @@ def test_knn_cross_join_is_broadcast_not_cartesian(spark):
     assert "CartesianProduct" not in p, p
 
 
+def test_lsh_pipelines_have_no_cartesian_and_cap_buckets(spark):
+    """The near-dup/ANN pipelines must candidate via bucket equi-joins
+    (never a cross join), and the minhash bucket cap must push map-side
+    (WindowGroupLimit) so a boilerplate mega-bucket can't blow a task."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as se
+
+    for q in ("dedup_minhash_lsh", "dedup_simhash", "sim_ann_lsh"):
+        p = plan_of(se.queries()[q](spark, SF))
+        assert "CartesianProduct" not in p, q
+    from crawlingathome_server_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = dedup.minhash_signatures_expr(docs)
+    p = plan_of(dedup.lsh_candidate_pairs(sigs))
+    assert "WindowGroupLimit" in p, p
+
+
 def test_whole_stage_codegen_covers_scalar_ops(spark):
     from crawlingathome_server_spark.functions import text as tx
 

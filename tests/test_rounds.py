@@ -481,3 +481,32 @@ def test_gpu_stage_claims_match_simulator(spark):
     # short-circuited jobs never reached the GPU queue in either world
     shorted = {n for n in got if "postgres" in gpu_urls[n]}
     assert not (shorted & set(got_gpu))
+
+
+def test_crawl_rounds_with_persisted_filter(spark, tmp_path):
+    """Cross-round crawl loop: round 1 expands a frontier and commits the
+    claimed URLs' bloom filter through the store; round 2 loads the
+    filter (never rebuilding from the raw seen set) and must not
+    re-schedule any round-1 URL — the reference's pending/closed
+    once-only guarantee, persisted Iceberg-style (models.py:31-32)."""
+    from crawlingathome_server_spark.operators import urlseen
+
+    store = CheckpointStore(str(tmp_path / "crawl"), n_partitions=4)
+    pages1 = datagen.pages(spark, seed=31, n=400)
+    out1 = expand_frontier(pages1, None, seed=5, default_budget=1 << 20)
+    claimed1 = out1.select("canon_url")
+    flt, params = urlseen.build_seen_filter_auto(urlseen.hash_urls(claimed1))
+    urlseen.persist_seen_filter(store, {}, flt, params, seed=5, round_epoch=1)
+
+    # round 2: half old pages, half new — from a fresh store read
+    flt2, params2 = urlseen.load_seen_filter(store, spark)
+    pages2 = datagen.pages(spark, seed=31, n=400).unionByName(
+        datagen.pages(spark, seed=77, n=200)
+    )
+    out2 = expand_frontier(
+        pages2, None, seed=6, default_budget=1 << 20, seen_filter=(flt2, params2)
+    )
+    round1 = {r["canon_url"] for r in claimed1.collect()}
+    round2 = {r["canon_url"] for r in out2.select("canon_url").collect()}
+    assert not round1 & round2  # bloom has no false negatives
+    assert round2  # the new pages did get scheduled (modulo rare FPs)

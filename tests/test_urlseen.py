@@ -66,3 +66,70 @@ def test_filter_deterministic_across_partitioning(spark):
         for r in urlseen.build_seen_filter(urlseen.hash_urls(seen).repartition(11)).collect()
     }
     assert f1 == f2
+
+
+def test_auto_sized_filter_fpr(spark):
+    """Auto-sizing (auto_params from a count estimate) must hold the
+    requested FPR — r01 shipped fixed params; a mis-sized filter blows
+    FPR silently (verdict item #5)."""
+    n = 20_000
+    seen = spark.range(n).select(
+        F.concat(F.lit("http://s.example.org/p/"), F.col("id")).alias("canon_url")
+    )
+    flt, params = urlseen.build_seen_filter_auto(urlseen.hash_urls(seen), fpr=0.01)
+    assert params["k"] >= 2 and params["bits_per_bucket"] % 8 == 0
+    novel = spark.range(n, 2 * n).select(
+        F.concat(F.lit("http://s.example.org/p/"), F.col("id")).alias("canon_url")
+    )
+    probed = urlseen.probe_seen_filter(
+        urlseen.hash_urls(novel), flt,
+        n_buckets=params["n_buckets"],
+        bits_per_bucket=params["bits_per_bucket"],
+        k=params["k"],
+    )
+    fp = probed.filter(F.col("maybe_seen")).count()
+    assert fp / n < 0.03, f"FPR {fp/n} vs target 0.01"
+    # no false negatives at auto params
+    again = urlseen.probe_seen_filter(
+        urlseen.hash_urls(seen), flt,
+        n_buckets=params["n_buckets"],
+        bits_per_bucket=params["bits_per_bucket"],
+        k=params["k"],
+    )
+    assert again.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_filter_persists_across_rounds(spark, tmp_path):
+    """Round k commits the built filter through CheckpointStore; round
+    k+1 loads it (params from the manifest) and probes WITHOUT
+    rebuilding — the crawl's cross-round once-only guarantee."""
+    from crawlingathome_server_spark.sources.checkpoint import CheckpointStore
+
+    store = CheckpointStore(str(tmp_path / "st"), n_partitions=4)
+    seen_k = spark.range(5000).select(
+        F.concat(F.lit("http://r.example.org/p/"), F.col("id")).alias("canon_url")
+    )
+    flt, params = urlseen.build_seen_filter_auto(urlseen.hash_urls(seen_k))
+    urlseen.persist_seen_filter(
+        store, {}, flt, params, seed=1, round_epoch=100
+    )
+
+    # --- next round: fresh read from disk ---
+    flt2, params2 = urlseen.load_seen_filter(store, spark)
+    assert params2 == params
+    cands = spark.range(2500, 7500).select(
+        F.concat(F.lit("http://r.example.org/p/"), F.col("id")).alias("canon_url")
+    )
+    probed = urlseen.probe_seen_filter(
+        urlseen.hash_urls(cands), flt2,
+        n_buckets=params2["n_buckets"],
+        bits_per_bucket=params2["bits_per_bucket"],
+        k=params2["k"],
+    )
+    # the 2500 already-seen candidates must all flag maybe_seen
+    assert probed.filter((F.col("canon_url").isin(
+        [f"http://r.example.org/p/{i}" for i in range(2500, 2520)]
+    )) & ~F.col("maybe_seen")).count() == 0
+    seen_flagged = probed.filter(F.col("maybe_seen")).count()
+    assert seen_flagged >= 2500  # all true-seen + few false positives
+    assert seen_flagged < 2500 + 0.03 * 2500
