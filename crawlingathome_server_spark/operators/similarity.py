@@ -140,30 +140,39 @@ def lsh_signatures_pm1(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, band, bucket) sign-LSH rows computed entirely JVM-side with
-    ±1 planes: one fold per plane (projection = Σ ±v_j in array order —
-    the same IEEE sequence the SQL oracle folds), no Python, no Arrow."""
+    ±1 planes: ONE fold over the vector updates all n_planes projections
+    together (projection_p = Σ_j ±v_j in array order — the same IEEE
+    sequence the SQL oracle folds), and the fold's ``finish`` lambda
+    packs the sign bits into band buckets. No Python, no Arrow, and a
+    compact expression (the per-plane-fold formulation codegen-compiled
+    n_planes copies of the traversal)."""
     planes = pm1_planes(dim, n_planes, seed)
     bits_per_band = n_planes // n_bands
     v = as_double(F.col(vec_col))
+    # planes transposed: per vector element j, the ±1 signs of all planes
+    planes_by_j = F.array(
+        *[
+            F.array(*[F.lit(float(planes[p][j])) for p in range(n_planes)])
+            for j in range(dim)
+        ]
+    )
 
-    def _proj(p: int) -> Column:
-        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
-        return F.aggregate(
-            F.zip_with(v, plane, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    buckets = []
-    for band in range(n_bands):
+    def _bucket(acc: Column, band: int) -> Column:
         b = F.lit(0)
         for r in range(bits_per_band):
-            b = b + F.when(_proj(band * bits_per_band + r) > 0, F.lit(1 << r)).otherwise(
-                F.lit(0)
-            )
-        buckets.append(b.cast("int"))
+            b = b + F.when(
+                F.element_at(acc, band * bits_per_band + r + 1) > 0, F.lit(1 << r)
+            ).otherwise(F.lit(0))
+        return b.cast("int")
+
+    buckets = F.aggregate(
+        F.zip_with(v, planes_by_j, lambda x, row: F.transform(row, lambda s: x * s)),
+        F.array(*[F.lit(0.0)] * n_planes),
+        lambda acc, c: F.zip_with(acc, c, lambda a, b: a + b),
+        lambda acc: F.array(*[_bucket(acc, band) for band in range(n_bands)]),
+    )
     return embeddings.select(
-        F.col(id_col), F.posexplode(F.array(*buckets)).alias("band", "bucket")
+        F.col(id_col), F.posexplode(buckets).alias("band", "bucket")
     )
 
 

@@ -157,6 +157,32 @@ def counters_snapshot(counters: DataFrame, now_epoch: int) -> DataFrame:
     return counters.filter(F.col("expires") > F.lit(now_epoch))
 
 
+COUNTER_OBS_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("value", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+
+
+def counter_refresh_stream(
+    observations: DataFrame, *, poll_interval: str = "25 seconds"
+) -> DataFrame:
+    """S5: the rate-limited external-counter poll (main.py:811-820 —
+    every 25 s, GET the external tracker, cache the freshest value per
+    key) as a stream: observations arrive at any rate; at most ONE
+    refresh per key per poll interval is emitted, the freshest
+    observation in the window winning (``max_by(value, ts)``). Works
+    unchanged on a finite batch DF (the pytest twin)."""
+    return (
+        observations.withWatermark("ts", poll_interval)
+        .groupBy(F.window("ts", poll_interval).alias("w"), "key")
+        .agg(F.max_by("value", "ts").alias("value"), F.max("ts").alias("observed_ts"))
+        .select("key", "value", F.col("w.end").alias("refresh_at"))
+    )
+
+
 def run_heartbeat_stream(
     spark,
     source_dir: str,

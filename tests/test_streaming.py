@@ -174,3 +174,74 @@ def test_liveness_stream_resumes_from_checkpoint(spark, tmp_path):
         assert w1["last_seen"] == 1100
     finally:
         q2.stop()
+
+
+def test_counter_refresh_rate_limited_batch(spark):
+    """S5 (main.py:811-820): many observations inside one 25 s poll
+    window collapse to ONE refresh per key carrying the freshest value."""
+    import datetime as dt
+
+    base = dt.datetime(2021, 1, 1, 12, 0, 0)
+    rows = [
+        ("nl-pairs", 100, base),
+        ("nl-pairs", 120, base + dt.timedelta(seconds=10)),  # freshest in w0
+        ("nl-pairs", 110, base + dt.timedelta(seconds=5)),
+        ("nl-pairs", 130, base + dt.timedelta(seconds=30)),  # w1
+        ("pairs", 7, base + dt.timedelta(seconds=3)),
+    ]
+    obs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["key", "value", "ts"]),
+        schema=hb.COUNTER_OBS_SCHEMA,
+    )
+    out = {
+        (r["key"], r["refresh_at"].second): r["value"]
+        for r in hb.counter_refresh_stream(obs).collect()
+    }
+    assert out == {("nl-pairs", 25): 120, ("nl-pairs", 50): 130, ("pairs", 25): 7}
+
+
+def test_counter_refresh_streaming_mode(spark, tmp_path):
+    """The same op wired as readStream → memory sink emits the finalized
+    window refreshes."""
+    import datetime as dt
+
+    base = dt.datetime(2021, 1, 1, 12, 0, 0)
+    src = tmp_path / "obs"
+    src.mkdir()
+    pdf = pd.DataFrame(
+        [
+            ("nl-pairs", 100, base),
+            ("nl-pairs", 150, base + dt.timedelta(seconds=20)),
+            ("nl-pairs", 200, base + dt.timedelta(seconds=60)),
+            # watermark-advancing tail event, its own window stays open
+            ("nl-pairs", 999, base + dt.timedelta(seconds=300)),
+        ],
+        columns=["key", "value", "ts"],
+    )
+    spark.createDataFrame(pdf, schema=hb.COUNTER_OBS_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(str(src))
+    stream = spark.readStream.schema(hb.COUNTER_OBS_SCHEMA).parquet(str(src))
+    q = (
+        hb.counter_refresh_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("counter_refresh")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        # 25 s windows align to the epoch: [12:00:00,:25) and [:50,1:15)
+        want = {(25, 150), (75, 200)}
+        got = set()
+        while time.time() < deadline and not want <= got:
+            q.processAllAvailable()
+            got = {
+                (r["refresh_at"].minute * 60 + r["refresh_at"].second, r["value"])
+                for r in spark.sql("SELECT * FROM counter_refresh").collect()
+            }
+            time.sleep(0.5)
+        assert want <= got, got
+    finally:
+        q.stop()
