@@ -267,14 +267,18 @@ def a1_counts(spark, sf_dir):
     "SELECT CASE WHEN count(*) > 0 THEN round(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END)"
     " * 100.0 / count(*), 6) ELSE 100.0 END AS completion_pct, "
     "(CAST(sum(CASE WHEN o_orderkey = 42 THEN 1 ELSE 0 END) AS BIGINT) > 0) AS job_exists, "
-    "(CAST(sum(CASE WHEN o_orderkey = -1 THEN 1 ELSE 0 END) AS BIGINT) > 0) AS missing_exists "
+    "(CAST(sum(CASE WHEN o_orderkey = -1 THEN 1 ELSE 0 END) AS BIGINT) > 0) AS missing_exists, "
+    "CASE WHEN CAST(sum(CASE WHEN o_orderkey = 42 THEN 1 ELSE 0 END) AS BIGINT) > 0 "
+    "THEN 'True' ELSE 'False' END AS exists_str "
     "FROM orders",
 )
 def a2_ratio(spark, sf_dir):
     """A2 guarded completion percentage (main.py:153-154,260) fused with
     P6 existence probes (Client.exists/Job.exists, main.py:520,475) —
     one conditional-aggregation pass answers both, replacing the
-    reference's separate count + limit-1 scans."""
+    reference's separate count + limit-1 scans. ``exists_str`` is F8:
+    the API returns Python ``str(exists)`` 'True'/'False' verbatim
+    (main.py:520-522)."""
     o = _t(spark, sf_dir, "orders")
     return o.agg(
         F.when(
@@ -292,6 +296,11 @@ def a2_ratio(spark, sf_dir):
         (F.sum(F.when(F.col("o_orderkey") == -1, 1).otherwise(0)) > 0).alias(
             "missing_exists"
         ),
+        F.when(
+            F.sum(F.when(F.col("o_orderkey") == 42, 1).otherwise(0)) > 0, "True"
+        )
+        .otherwise("False")
+        .alias("exists_str"),
     )
 
 
@@ -530,17 +539,22 @@ _F4_PARTS = [
         f"CASE WHEN {e} > 0 THEN concat(cast({e} AS varchar), '{u}') END" for e, u in _F4_PARTS
     )
     + f", concat(cast({_F4_SEC} % 60 AS varchar), 's')) AS human, "
-    "1706659200 - cast(floor(epoch(ts)) AS bigint) AS age_s FROM events",
+    "1706659200 - cast(floor(epoch(ts)) AS bigint) AS age_s, "
+    + agg.relative_time_sql("greatest(1706659200 - cast(floor(epoch(ts)) AS bigint), 0)")
+    + " AS rel_time FROM events",
 )
 def f4_humanize(spark, sf_dir):
     """F4 duration humanize: divmod y/d/h/m/s chain (main.py:765-780),
     plus F3 epoch-seconds age arithmetic (int last_seen semantics,
-    models.py:74-75) as the ``age_s`` column."""
+    models.py:74-75) as ``age_s``, plus F5 relative-time humanize
+    (cdn/main.js:1-64 timeDifference) as ``rel_time``."""
     e = _t(spark, sf_dir, "events")
+    age = F.lit(1706659200) - F.unix_timestamp("ts")
     return e.select(
         "event_id",
         agg.humanize_duration(F.floor(F.abs(F.col("value")) * 1000)).alias("human"),
-        (F.lit(1706659200) - F.unix_timestamp("ts")).alias("age_s"),
+        age.alias("age_s"),
+        agg.relative_time(F.greatest(age, F.lit(0))).alias("rel_time"),
     )
 
 

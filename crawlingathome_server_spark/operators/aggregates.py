@@ -179,3 +179,59 @@ def humanize_duration(seconds: F.Column) -> F.Column:
         F.when(minutes > 0, F.concat(minutes.cast("string"), F.lit("m"))),
         F.concat(secs.cast("string"), F.lit("s")),
     )
+
+
+def relative_time(elapsed_s: F.Column) -> F.Column:
+    """F5: '<n> <unit>[s] ago' relative-time humanize — the dashboard's
+    timeDifference (reference cdn/main.js:1-64) as one projection.
+
+    Tier thresholds and Math.round semantics match the JS exactly
+    (round-half-up on positive values is identical in JS, Spark, and
+    DuckDB). One deliberate deviation: the reference's months branch
+    pluralizes as ' month ago' even for n>1 (cdn/main.js:47-52, a typo);
+    we pluralize correctly and note it here for the parity audit.
+    """
+    e = elapsed_s.cast("long")
+
+    def fmt(n: F.Column, unit: str) -> F.Column:
+        n = n.cast("long")
+        return F.concat(
+            n.cast("string"),
+            F.lit(f" {unit}"),
+            F.when(n == 1, F.lit("")).otherwise(F.lit("s")),
+            F.lit(" ago"),
+        )
+
+    def rounded(div: int) -> F.Column:
+        return F.round(e / F.lit(float(div)), 0)
+
+    return (
+        F.when(e < 60, fmt(e, "second"))
+        .when(e < 3600, fmt(rounded(60), "minute"))
+        .when(e < 86400, fmt(rounded(3600), "hour"))
+        .when(e < 2592000, fmt(rounded(86400), "day"))
+        .when(e < 31536000, fmt(rounded(2592000), "month"))
+        .otherwise(fmt(rounded(31536000), "year"))
+    )
+
+
+def relative_time_sql(expr: str) -> str:
+    """DuckDB twin of :func:`relative_time` (same tiers + rounding)."""
+
+    def fmt(n: str, unit: str) -> str:
+        return (
+            f"concat(CAST({n} AS VARCHAR), ' {unit}', "
+            f"CASE WHEN {n} = 1 THEN '' ELSE 's' END, ' ago')"
+        )
+
+    def rounded(div: int) -> str:
+        return f"CAST(round(({expr}) / {div}.0) AS BIGINT)"
+
+    return (
+        f"CASE WHEN {expr} < 60 THEN {fmt(f'CAST({expr} AS BIGINT)', 'second')} "
+        f"WHEN {expr} < 3600 THEN {fmt(rounded(60), 'minute')} "
+        f"WHEN {expr} < 86400 THEN {fmt(rounded(3600), 'hour')} "
+        f"WHEN {expr} < 2592000 THEN {fmt(rounded(86400), 'day')} "
+        f"WHEN {expr} < 31536000 THEN {fmt(rounded(2592000), 'month')} "
+        f"ELSE {fmt(rounded(31536000), 'year')} END"
+    )

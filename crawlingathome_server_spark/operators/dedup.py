@@ -278,14 +278,17 @@ def jaccard_verify_expr(
     distinct shingle-hash sets are built with higher-order array
     functions and compared with array_intersect/array_union — no Python
     at all (and bit-reproducible in SQL when ``hash_mode='md5'``)."""
-    d = docs.select(
-        F.col(id_col),
-        F.array_distinct(shingle_hashes_expr(text_col, shingle_k, hash_mode)).alias("hs"),
-    )
+    # join the (small) candidate-pair set to the raw texts FIRST, then
+    # hash only the joined rows — computing the shingle sets before the
+    # join would hash every document to verify a handful of pairs
+    d = docs.select(F.col(id_col), F.col(text_col))
     joined = (
-        pairs.join(d.withColumnsRenamed({id_col: "a", "hs": "hs_a"}), on="a")
-        .join(d.withColumnsRenamed({id_col: "b", "hs": "hs_b"}), on="b")
+        pairs.join(d.withColumnsRenamed({id_col: "a", text_col: "__ta"}), on="a")
+        .join(d.withColumnsRenamed({id_col: "b", text_col: "__tb"}), on="b")
     )
+    hs_a = F.array_distinct(shingle_hashes_expr("__ta", shingle_k, hash_mode))
+    hs_b = F.array_distinct(shingle_hashes_expr("__tb", shingle_k, hash_mode))
+    joined = joined.select("a", "b", hs_a.alias("hs_a"), hs_b.alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     union = F.size(F.array_union("hs_a", "hs_b"))
     return (
