@@ -8,6 +8,9 @@
   generation is a bucket equi-join, never a cross join.
 - ``cosine_near_dup_pairs``: embedding near-duplicate detection (cosine
   ≥ threshold) via the LSH buckets.
+- ``ivf_topk``: FAISS-style IVF — MLlib-KMeans coarse quantizer,
+  searches only the nprobe nearest inverted lists per probe (the second
+  at-scale ANN path; exhaustive, hence exact, when nprobe=n_lists).
 
 All vector math is numpy inside Arrow-batched pandas UDFs, or built-in
 ``aggregate``/``zip_with`` expressions where the plan stays JVM-side.
@@ -257,3 +260,100 @@ def cosine_near_dup_pairs(
         .select("a", "b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+# --- IVF (inverted-file) ANN: the second scale path besides sign-LSH -------
+
+
+def ivf_build(
+    embeddings: DataFrame,
+    *,
+    n_lists: int = 16,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train IVF coarse centroids (MLlib KMeans) and assign every vector
+    to its inverted list. Returns (assigned_df(id, list_id), model).
+
+    The classic FAISS-style recipe on Spark terms: centroids are a tiny
+    broadcast model; assignment is one JVM-side model.transform pass;
+    the inverted "lists" are just a list_id column to bucket-join on —
+    at 100 TB the assignment is embarrassingly parallel and searches
+    touch only nprobe/n_lists of the data.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.select(
+        F.col(id_col),
+        array_to_vector(as_double(F.col(vec_col))).alias("features"),
+    )
+    model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(feats)
+    assigned = (
+        model.transform(feats)
+        .select(F.col(id_col), F.col("prediction").alias("list_id"))
+    )
+    return assigned, model
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    *,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: each probe searches only its ``nprobe`` nearest
+    inverted lists (centroid distances computed against the broadcast
+    centroid table with built-in array ops), candidates join on list_id,
+    exact cosine re-score, window rank."""
+    from ..util import spread
+
+    embeddings = spread(embeddings)
+    assigned, model = ivf_build(
+        embeddings, n_lists=n_lists, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    centers_df = embeddings.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)], ["list_id", "center"]
+    )
+    p = probes.select(F.col(id_col).alias("probe_id"), as_double(F.col(vec_col)).alias("pv"))
+    # distance² to every centroid; keep the nprobe nearest lists per probe
+    d2 = F.aggregate(
+        F.zip_with(F.col("pv"), F.col("center"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probe_lists = (
+        p.crossJoin(F.broadcast(centers_df))
+        .select("probe_id", "pv", "list_id", d2.alias("d2"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("probe_id").orderBy(F.asc("d2"), F.asc("list_id"))
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("probe_id", "pv", "list_id")
+    )
+    cands = assigned.join(
+        embeddings.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")),
+        on=id_col,
+    ).select(F.col(id_col).alias("cand_id"), "list_id", "v")
+    scored = (
+        probe_lists.join(cands, on="list_id")
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .dropDuplicates(["probe_id", "cand_id"])
+        .select(
+            "probe_id",
+            "cand_id",
+            cosine_expr(F.col("pv"), F.col("v")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine_sim"), F.asc("cand_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")

@@ -262,3 +262,27 @@ def test_multimodal_resize(spark):
     for mid, (ow, oh) in dims.items():
         w, h = src[mid]
         assert abs(ow / oh - w / h) < 0.1
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, vectors):
+    """IVF (MLlib-KMeans coarse quantizer + nprobe list search) must
+    recover most exact neighbors; with nprobe == n_lists it IS exact."""
+    probes = vectors.limit(3)
+    exact = {
+        (r["probe_id"], r["cand_id"])
+        for r in similarity.brute_force_topk(vectors, probes, k=5).collect()
+    }
+    full = {
+        (r["probe_id"], r["cand_id"])
+        for r in similarity.ivf_topk(
+            vectors, probes, k=5, n_lists=8, nprobe=8
+        ).collect()
+    }
+    assert full == exact  # nprobe == n_lists → exhaustive → exact
+    approx = {
+        (r["probe_id"], r["cand_id"])
+        for r in similarity.ivf_topk(
+            vectors, probes, k=5, n_lists=8, nprobe=3
+        ).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.5  # coarse recall bound
