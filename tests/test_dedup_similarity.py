@@ -152,13 +152,68 @@ def test_multimodal_image_features(spark):
         assert again[r["media_id"]] == r["features"]
 
 
-def test_multimodal_real_mode_raises(spark):
-    media = multimodal.gen_media(spark, n=10)
+def test_multimodal_real_mode_raises_on_compressed(spark):
+    """Opaque (compressed-format) payloads still raise without fake=True;
+    decodable containers (PPM/WAV/raw streams) never need the fake path."""
+    media = multimodal.gen_media(spark, n=10, real_payloads=False)
     with pytest.raises(Exception) as exc_info:
         multimodal.decode_image_features(media, fake=False).collect()
-    assert "NotImplementedError" in str(exc_info.value) or "real image decoding" in str(
+    assert "NotImplementedError" in str(exc_info.value) or "codec library" in str(
         exc_info.value
     )
+
+
+def test_multimodal_real_ppm_decode(spark):
+    """REAL pixel decode: a solid-color PPM yields exact channel means."""
+    import numpy as np
+
+    arr = np.zeros((10, 20, 3), dtype=np.uint8)
+    arr[:, :, 0] = 255  # pure red
+    row = [(1, "u", "image", multimodal.encode_ppm(arr), "image/x-portable-pixmap",
+            20, 10, None)]
+    media = spark.createDataFrame(row, schema=multimodal.MEDIA_SCHEMA)
+    out = multimodal.decode_image_features(media, dim=6, fake=False).collect()[0]
+    assert out["decode_ok"]
+    r_mean, g_mean, b_mean = out["features"][:3]
+    assert abs(r_mean - 1.0) < 1e-6 and g_mean == 0.0 and b_mean == 0.0
+
+
+def test_multimodal_real_resize_roundtrip(spark):
+    """REAL resample: output blob is a valid PPM with the computed dims."""
+    media = multimodal.gen_media(spark, n=40)
+    out = multimodal.resize_images(media, max_side=24, fake=False).collect()
+    assert out
+    for r in out:
+        arr = multimodal.decode_ppm(bytes(r["resized"]))
+        assert arr is not None
+        assert arr.shape == (r["out_height"], r["out_width"], 3)
+
+
+def test_multimodal_real_wav_features(spark):
+    """REAL WAV-PCM decode: a pure sine's RMS ≈ amplitude/√2 and its
+    zero-crossing rate ≈ 2·freq/sr."""
+    import numpy as np
+
+    sr, freq, amp = 8000, 400, 10000
+    t = np.arange(sr) / sr
+    sig = (np.sin(2 * np.pi * freq * t) * amp).astype(np.int16)
+    import io as _io
+    import wave as _wave
+
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(sig.tobytes())
+    media = spark.createDataFrame(
+        [(1, "u", "audio", buf.getvalue(), "audio/wav", None, None, 1000)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    out = multimodal.extract_audio_features(media, fake=False).collect()[0]
+    assert out["decode_ok"] and out["sample_rate"] == sr and out["n_samples"] == sr
+    assert abs(out["rms"] - amp / np.sqrt(2)) / (amp / np.sqrt(2)) < 0.01
+    assert abs(out["zero_crossing_rate"] - 2 * freq / sr) < 0.01
 
 
 def test_multimodal_frame_sampling(spark):
