@@ -679,29 +679,64 @@ def w4_percentiles(spark, sf_dir):
     )
 
 
+_QF_WORDS = "length(regexp_split_to_array(trim(text), '\\s+'))"
+_QF_PUNCT = "(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))"
+_QF_STOP = tx.lang_score_sql("text", "en")
+_QF_QUALITY = (
+    f"least(CAST({_QF_STOP} AS DOUBLE) / CAST({_QF_WORDS} AS DOUBLE) * 4, 1.0) * 0.4"
+    f" + (CASE WHEN CAST(length(text) AS DOUBLE) / CAST({_QF_WORDS} AS DOUBLE) >= 3"
+    f" AND CAST(length(text) AS DOUBLE) / CAST({_QF_WORDS} AS DOUBLE) <= 10"
+    f" THEN 1.0 ELSE 0.3 END) * 0.3"
+    f" + greatest(0.0, 1.0 - CAST({_QF_PUNCT} AS DOUBLE) / CAST(length(text) AS DOUBLE) * 5) * 0.3"
+)
+
+_CURATION_LANG = (
+    "CASE "
+    f"WHEN {tx.lang_score_sql('text', 'en')} <= 0 AND {tx.lang_score_sql('text', 'de')} <= 0 "
+    f"AND {tx.lang_score_sql('text', 'fr')} <= 0 AND {tx.lang_score_sql('text', 'es')} <= 0 THEN 'nolang' "
+    f"WHEN {tx.lang_score_sql('text', 'en')} >= {tx.lang_score_sql('text', 'de')} "
+    f"AND {tx.lang_score_sql('text', 'en')} >= {tx.lang_score_sql('text', 'fr')} "
+    f"AND {tx.lang_score_sql('text', 'en')} >= {tx.lang_score_sql('text', 'es')} THEN 'en' "
+    f"WHEN {tx.lang_score_sql('text', 'de')} >= {tx.lang_score_sql('text', 'fr')} "
+    f"AND {tx.lang_score_sql('text', 'de')} >= {tx.lang_score_sql('text', 'es')} THEN 'de' "
+    f"WHEN {tx.lang_score_sql('text', 'fr')} >= {tx.lang_score_sql('text', 'es')} THEN 'fr' "
+    "ELSE 'es' END"
+)
+
+
 @_q(
     "t_curation_pipeline",
     "WITH scored AS (SELECT doc_id, text, md5(text) AS h, "
-    "length(regexp_split_to_array(trim(text), '\\s+')) AS n_words FROM documents), "
-    "kept AS (SELECT * FROM scored WHERE n_words >= 20), "
+    "length(regexp_split_to_array(trim(text), '\\s+')) AS n_words, "
+    f"{_CURATION_LANG} AS lang_pred, "
+    f"round({_QF_QUALITY}, 6) AS quality FROM documents), "
+    "kept AS (SELECT * FROM scored WHERE n_words >= 20 AND lang_pred = 'en' "
+    "AND quality >= 0.5), "
     "dedup AS (SELECT h, min(doc_id) AS keeper FROM kept GROUP BY h) "
-    "SELECT k.doc_id, k.n_words FROM kept k JOIN dedup d "
+    "SELECT k.doc_id, k.n_words, k.lang_pred, k.quality FROM kept k JOIN dedup d "
     "ON k.h = d.h AND k.doc_id = d.keeper",
 )
 def t_curation(spark, sf_dir):
-    """End-to-end training-data curation: length filter → exact dedup →
-    keeper set (the composed pipeline a data-curation user runs)."""
+    """End-to-end training-data curation — the composed pipeline a
+    data-curation user runs: length gate → language-ID gate (en) →
+    quality-score gate → exact content dedup → keeper set. Every stage
+    is a built-in expression; the whole pipeline is one scan + one
+    groupBy + one (broadcast) keeper join."""
     docs = _t(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
         F.md5("text").alias("h"),
         tx.token_count_ws(F.col("text")).alias("n_words"),
+        tx.lang_id(F.col("text")).alias("lang_pred"),
+        F.round(tx.quality_score(F.col("text")), 6).alias("quality"),
     )
-    kept = scored.filter(F.col("n_words") >= 20)
+    kept = scored.filter(
+        (F.col("n_words") >= 20) & (F.col("lang_pred") == "en") & (F.col("quality") >= 0.5)
+    )
     dedup = kept.groupBy("h").agg(F.min("doc_id").alias("keeper"))
     return (
         kept.join(dedup, (kept.h == dedup.h) & (kept.doc_id == dedup.keeper))
-        .select("doc_id", "n_words")
+        .select("doc_id", "n_words", "lang_pred", "quality")
     )
 
 
@@ -767,18 +802,6 @@ def t_token_count(spark, sf_dir):
     return _t(spark, sf_dir, "documents").select(
         "doc_id", tx.token_count_ws(F.col("text")).alias("n_tokens_ws")
     )
-
-
-_QF_WORDS = "length(regexp_split_to_array(trim(text), '\\s+'))"
-_QF_PUNCT = "(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))"
-_QF_STOP = tx.lang_score_sql("text", "en")
-_QF_QUALITY = (
-    f"least(CAST({_QF_STOP} AS DOUBLE) / CAST({_QF_WORDS} AS DOUBLE) * 4, 1.0) * 0.4"
-    f" + (CASE WHEN CAST(length(text) AS DOUBLE) / CAST({_QF_WORDS} AS DOUBLE) >= 3"
-    f" AND CAST(length(text) AS DOUBLE) / CAST({_QF_WORDS} AS DOUBLE) <= 10"
-    f" THEN 1.0 ELSE 0.3 END) * 0.3"
-    f" + greatest(0.0, 1.0 - CAST({_QF_PUNCT} AS DOUBLE) / CAST(length(text) AS DOUBLE) * 5) * 0.3"
-)
 
 
 @_q(
