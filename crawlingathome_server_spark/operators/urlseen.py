@@ -105,6 +105,31 @@ def build_seen_filter_auto(
     return flt, params
 
 
+def merge_seen_filters(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR-merge two bucketed filters built with IDENTICAL params.
+
+    Bloom bitmaps are unions under bitwise OR, so incremental crawl
+    rounds extend the seen-set without touching the raw URL list: build
+    a small filter over the round's new URLs and OR it into the
+    persisted one. One groupBy per merge; each bucket's bitmaps cross
+    into Python once (numpy OR), never per row."""
+
+    def _or(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc: np.ndarray | None = None
+        for blob in pdf["bitmap"]:
+            arr = np.frombuffer(blob, dtype=np.uint8)
+            acc = arr.copy() if acc is None else np.bitwise_or(acc, arr)
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "bitmap": [acc.tobytes()],
+                "n_items": [int(pdf["n_items"].sum())],
+            }
+        )
+
+    return a.unionByName(b).groupBy("bucket").applyInPandas(_or, _BITMAP_SCHEMA)
+
+
 FILTER_TABLE = "urlseen_filter"
 
 

@@ -180,6 +180,135 @@ def dashboard_snapshot(
     }
 
 
+class CrawlEngine:
+    """The URL-frontier crawl loop (the north rule's literal object):
+    round k takes the pages crawled since round k-1, expands the
+    frontier (canonicalize → dedup → URL-seen probe → politeness claim),
+    and commits BOTH the claimed URLs and the updated seen-set through
+    the snapshot store — so a crawl resumes exactly where it stopped,
+    with per-partition lineage and counters (reference analogue: the
+    pending/closed flags in Postgres, models.py:31-32).
+
+    Seen-set maintenance is two-tier, the 10^10-URL posture:
+    - ``seen_urls``: the exact set, hash-bucketed parquet, DELTA-committed
+      (only the buckets touched by this round's claims are rewritten);
+    - ``urlseen_filter``: the bucketed bloom, incrementally OR-merged
+      with a filter built over just the round's new URLs (bitmaps are
+      unions) and REBUILT at double capacity from the exact set when the
+      item count outgrows its sizing (auto_params) — a mis-sized filter
+      silently blows FPR.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: CheckpointStore,
+        *,
+        seed: int = 42,
+        default_budget: int = 4,
+        fpr: float = 0.01,
+    ):
+        self.spark = spark
+        self.store = store
+        self.seed = seed
+        self.default_budget = default_budget
+        self.fpr = fpr
+
+    def bootstrap(self, *, round_epoch: int = 0) -> int:
+        from pyspark.sql import types as T
+
+        empty = self.spark.createDataFrame(
+            [], schema=T.StructType([T.StructField("canon_url", T.StringType(), False)])
+        )
+        return self.store.commit(
+            {"seen_urls": empty},
+            seed=self.seed,
+            round_epoch=round_epoch,
+            counters={"n_seen": 0, "crawl_capacity": 0},
+        )
+
+    def run_round(
+        self,
+        pages: DataFrame,
+        *,
+        round_epoch: int,
+        robots: DataFrame | None = None,
+    ) -> DataFrame:
+        """One crawl round: returns the claimed (scheduled) URL set and
+        commits S_{k+1} = seen ∪ claimed + updated filter."""
+        spark, store = self.spark, self.store
+        snap = store.latest_snapshot_id()
+        counters = store.read_manifest(snap)["counters"]
+        n_seen, capacity = counters["n_seen"], counters["crawl_capacity"]
+        params = counters.get("urlseen_params")
+        seen_urls = store.read(spark, "seen_urls")
+
+        if params is not None:
+            flt = store.read(spark, urlseen.FILTER_TABLE)
+            claimed = expand_frontier(
+                pages,
+                robots,
+                seed=self.seed + round_epoch,
+                default_budget=self.default_budget,
+                seen_filter=(flt, params),
+            )
+        else:
+            flt = None
+            claimed = expand_frontier(
+                pages,
+                robots,
+                seen_urls=seen_urls if n_seen else None,
+                seed=self.seed + round_epoch,
+                default_budget=self.default_budget,
+            )
+        claimed = claimed.cache()
+        n_claimed = claimed.count()
+        new_seen = claimed.select("canon_url")
+        total = n_seen + n_claimed
+
+        if params is None or total > capacity:
+            # (re)build at 2× headroom from the EXACT set — the filter is
+            # an accelerator, the parquet seen_urls table is the truth
+            capacity = max(2 * total, 1024)
+            params = urlseen.auto_params(capacity, self.fpr)
+            all_seen = seen_urls.unionByName(new_seen)
+            flt = urlseen.build_seen_filter(
+                urlseen.hash_urls(all_seen),
+                n_buckets=params["n_buckets"],
+                bits_per_bucket=params["bits_per_bucket"],
+                k=params["k"],
+            )
+        else:
+            delta_flt = urlseen.build_seen_filter(
+                urlseen.hash_urls(new_seen),
+                n_buckets=params["n_buckets"],
+                bits_per_bucket=params["bits_per_bucket"],
+                k=params["k"],
+            )
+            flt = urlseen.merge_seen_filters(flt, delta_flt)
+
+        store.commit(
+            {
+                "seen_urls": seen_urls.unionByName(new_seen),
+                urlseen.FILTER_TABLE: flt,
+            },
+            seed=self.seed,
+            round_epoch=round_epoch,
+            counters={
+                "n_seen": total,
+                "n_claimed": n_claimed,
+                "crawl_capacity": capacity,
+                "urlseen_params": params,
+            },
+            # delta-commit: only the seen_urls buckets touched by this
+            # round's claims get rewritten; the filter is small (≈ total
+            # bits) and rewrites whole
+            deltas={"seen_urls": new_seen},
+        )
+        claimed.unpersist()
+        return claimed
+
+
 @dataclass
 class RoundResult:
     snapshot_id: int

@@ -510,3 +510,80 @@ def test_crawl_rounds_with_persisted_filter(spark, tmp_path):
     round2 = {r["canon_url"] for r in out2.select("canon_url").collect()}
     assert not round1 & round2  # bloom has no false negatives
     assert round2  # the new pages did get scheduled (modulo rare FPs)
+
+
+def test_merge_seen_filters_equals_bulk_build(spark):
+    """Bloom bitmaps are unions: OR-merging two filters must equal the
+    filter built over the union of their key sets (same params)."""
+    from crawlingathome_server_spark.operators import urlseen
+
+    a = spark.range(0, 3000).select(F.concat(F.lit("http://m/"), "id").alias("canon_url"))
+    b = spark.range(2000, 5000).select(F.concat(F.lit("http://m/"), "id").alias("canon_url"))
+    kw = {"n_buckets": 32, "bits_per_bucket": 1 << 14, "k": 5}
+    fa = urlseen.build_seen_filter(urlseen.hash_urls(a), **kw)
+    fb = urlseen.build_seen_filter(urlseen.hash_urls(b), **kw)
+    merged = {r["bucket"]: bytes(r["bitmap"]) for r in
+              urlseen.merge_seen_filters(fa, fb).collect()}
+    bulk = {r["bucket"]: bytes(r["bitmap"]) for r in
+            urlseen.build_seen_filter(urlseen.hash_urls(a.unionByName(b)), **kw).collect()}
+    assert merged == bulk
+
+
+def _crawl_pages(spark, r, n=300):
+    # half the urls repeat across every round (seed 40), half are new
+    return datagen.pages(spark, seed=40, n=n // 2).unionByName(
+        datagen.pages(spark, seed=400 + r, n=n // 2)
+    )
+
+
+def test_crawl_engine_rounds_and_resume(spark, tmp_path):
+    """CrawlEngine: (1) a URL claimed in round k is never re-claimed in
+    round k+1 (persisted seen-set); (2) a crawl interrupted after round 2
+    and resumed by a FRESH engine over the same store schedules round 3
+    identically to the uninterrupted crawl — the north rule's 'resumes
+    exactly where it stopped'."""
+    from crawlingathome_server_spark.plans.rounds import CrawlEngine
+
+    def run(store_dir, rounds, fresh_engine_at=None):
+        store = CheckpointStore(str(store_dir), n_partitions=4)
+        eng = CrawlEngine(spark, store, seed=7, default_budget=1 << 20)
+        eng.bootstrap()
+        out = {}
+        for r in rounds:
+            if fresh_engine_at == r:  # simulate restart: new engine, same store
+                eng = CrawlEngine(spark, store, seed=7, default_budget=1 << 20)
+            claimed = eng.run_round(_crawl_pages(spark, r), round_epoch=r)
+            out[r] = sorted(x["canon_url"] for x in claimed.collect())
+        return out, store
+
+    cont, _ = run(tmp_path / "cont", [1, 2, 3])
+    resumed, store_b = run(tmp_path / "resume", [1, 2, 3], fresh_engine_at=3)
+    assert cont == resumed
+    # seen-set exclusion: round 2+ never re-claims round-1 urls
+    assert not set(cont[1]) & set(cont[2])
+    assert not (set(cont[1]) | set(cont[2])) & set(cont[3])
+    # lineage + metrics persisted
+    m = store_b.read_manifest(store_b.latest_snapshot_id())
+    assert m["counters"]["n_seen"] == len(cont[1]) + len(cont[2]) + len(cont[3])
+    assert m["counters"]["urlseen_params"]["k"] >= 1
+
+
+def test_crawl_engine_filter_rebuild_on_capacity(spark, tmp_path):
+    """When the seen count outgrows the filter's sizing, the engine
+    rebuilds at 2x capacity from the exact set (params change) and the
+    rebuilt filter still excludes everything seen."""
+    from crawlingathome_server_spark.plans.rounds import CrawlEngine
+
+    store = CheckpointStore(str(tmp_path / "cap"), n_partitions=4)
+    eng = CrawlEngine(spark, store, seed=9, default_budget=1 << 20)
+    eng.bootstrap()
+    eng.run_round(datagen.pages(spark, seed=50, n=200), round_epoch=1)
+    p1 = store.read_manifest(store.latest_snapshot_id())["counters"]["urlseen_params"]
+    # a much larger round forces total > capacity → rebuild
+    eng.run_round(datagen.pages(spark, seed=51, n=1500), round_epoch=2)
+    c2 = store.read_manifest(store.latest_snapshot_id())["counters"]
+    assert c2["crawl_capacity"] >= c2["n_seen"]
+    # round 3 re-presenting earlier pages claims nothing from them
+    claimed3 = eng.run_round(datagen.pages(spark, seed=50, n=200), round_epoch=3)
+    assert claimed3.count() == 0
+    assert p1 is not None
