@@ -110,6 +110,29 @@ def run_bench(spark, sf_dir: str) -> dict:
     )
     timings["flagship_expand_frontier"] = flagship_s
 
+    # flagship at volume: 2M expression-built page URLs through the FULL
+    # frontier pipeline (canonicalize → host → hash → dedup → claim) —
+    # this is BASELINE.json's headline metric (frontier URLs scheduled/s)
+    pages_2m = spark.range(2_000_000).select(
+        F.concat(
+            F.lit("HTTP://Host"),
+            F.pmod(F.col("id"), F.lit(50_000)),
+            F.lit(".Example.com:80/p/"),
+            F.col("id"),
+            F.lit("?b=2&a=1#f"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1_600_000_000) + F.col("id") % 86_400).alias("warc_ts"),
+    )
+    n_sched_2m = expand_frontier(
+        pages_2m, robots=None, seed=7, default_budget=1 << 30
+    ).count()
+    flagship_2m_s = best_of(
+        lambda: _materialize(
+            expand_frontier(pages_2m, robots=None, seed=7, default_budget=1 << 30)
+        )
+    )
+    timings["flagship_expand_frontier_2m"] = flagship_2m_s
+
     # claim-scheduler throughput at bench scale: 2M-row expression-built
     # frontier (no disk), politeness-budgeted batch claim, decision set only
     from crawlingathome_server_spark.datagen import synth_frontier_expr
@@ -166,7 +189,11 @@ def run_bench(spark, sf_dir: str) -> dict:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_pages": n_pages,
         "n_urls_scheduled": n_scheduled,
-        "urls_scheduled_per_sec": round(n_scheduled / flagship_s, 2) if flagship_s else None,
+        # headline throughput from the 2M-URL full-pipeline run; the
+        # sf-sized variant is reported alongside for cross-round diffing
+        "urls_scheduled_per_sec": round(n_sched_2m / flagship_2m_s, 2),
+        "flagship_2m_urls_scheduled": n_sched_2m,
+        "urls_scheduled_per_sec_sf": round(n_scheduled / flagship_s, 2) if flagship_s else None,
         "claim_frontier_rows_per_sec": round(2_000_000 / claim_s, 1),
         "claim_urls_scheduled_per_sec": round(n_claims_2m / claim_s, 1),
         "urlseen_urls_per_sec": round(2_000_000 / urlseen_s, 1),

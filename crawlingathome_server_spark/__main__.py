@@ -35,6 +35,13 @@ def main(argv: list[str] | None = None) -> int:
         default=0,
         help="after rounds, expire snapshots keeping the newest N (0 = keep all)",
     )
+    ap.add_argument(
+        "--mode",
+        choices=["jobs", "crawl"],
+        default="jobs",
+        help="jobs = shard-scheduling rounds (RoundEngine); "
+        "crawl = URL-frontier rounds with persisted seen-set (CrawlEngine)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -48,11 +55,36 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark(app_name="cah-rounds")
 
     from . import datagen
-    from .plans.rounds import RoundEngine
+    from .plans.rounds import CrawlEngine, RoundEngine
     from .sources.checkpoint import CheckpointStore
     from .sources.seed import dedup_by_number
 
     store = CheckpointStore(args.store)
+
+    if args.mode == "crawl":
+        eng = CrawlEngine(spark, store, seed=args.seed, default_budget=args.budget)
+        if store.latest_snapshot_id() is None:
+            eng.bootstrap(round_epoch=args.epoch0)
+            print(json.dumps({"event": "bootstrap", "snapshot": 1, "mode": "crawl"}))
+        else:
+            print(json.dumps({"event": "resume", "snapshot": store.latest_snapshot_id(),
+                              "mode": "crawl"}))
+        base = store.read_manifest(store.latest_snapshot_id())["round_epoch"]
+        for k in range(args.rounds):
+            pages = datagen.pages(
+                spark, seed=args.seed + k, n=max(100, args.frontier_rows // 10)
+            )
+            claimed = eng.run_round(pages, round_epoch=base + (k + 1) * 300)
+            m = store.read_manifest(store.latest_snapshot_id())["counters"]
+            print(json.dumps({
+                "event": "crawl_round",
+                "snapshot": store.latest_snapshot_id(),
+                "n_claimed": m["n_claimed"],
+                "n_seen": m["n_seen"],
+                "filter_buckets": m["urlseen_params"]["n_buckets"],
+            }))
+        return 0
+
     engine = RoundEngine(spark, store, seed=args.seed, host_default_budget=args.budget)
 
     if store.latest_snapshot_id() is None:
