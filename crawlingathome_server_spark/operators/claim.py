@@ -172,22 +172,42 @@ def assign_workers(
     worker_type: str = "CPU",
     seed: int = 0,
 ) -> DataFrame:
-    """Deterministic round-robin claim→worker assignment.
+    """Deterministic claim→worker assignment via rendezvous (highest-
+    random-weight) hashing: worker = argmax over eligible workers of
+    ``xxhash64(number, uuid, seed)``.
 
     Replaces the reference's token-stamping re-fetch trick
-    (main.py:554-566): worker = ``pmod(hash(number), n_workers)`` against a
-    rank-indexed (broadcast) worker list.
+    (main.py:554-566). vs the r01 ``pmod(hash, n)`` round-robin: no
+    driver-side count, no global window over workers, and when a worker
+    joins or leaves only the claims whose argmax WAS that worker move
+    (minimal reassignment under churn — the property a long-running
+    crawl wants). One pass: the sorted worker list rides along as a
+    single broadcast array row; the per-claim argmax is one fold over
+    it. Workers are a dim table (one row per live worker) by
+    construction; no worker set at any plausible scale outgrows one
+    array.
     """
     eligible = workers.filter(F.col("type") == worker_type).select("uuid")
-    w = Window.orderBy("uuid")
-    indexed = eligible.withColumn("widx", F.row_number().over(w) - 1)
-    n = indexed.count()
-    if n == 0:
-        return claims.withColumn("assigned_worker", F.lit(None).cast("string"))
-    return claims.withColumn(
-        "widx", F.pmod(seeded_hash64(F.col("number"), seed=seed + 2), F.lit(n))
-    ).join(F.broadcast(indexed), on="widx", how="left").drop("widx").withColumnRenamed(
-        "uuid", "assigned_worker"
+    warr = eligible.agg(F.sort_array(F.collect_list("uuid")).alias("__ws"))
+
+    def _h(u):
+        return F.xxhash64(F.col("number"), u, F.lit(seed + 2))
+
+    init = F.struct(
+        F.lit(int(-(1 << 63))).cast("long").alias("h"),
+        F.lit(None).cast("string").alias("u"),
+    )
+    pick = F.aggregate(
+        F.col("__ws"),
+        init,
+        lambda acc, u: F.when(
+            _h(u) > acc["h"], F.struct(_h(u).alias("h"), u.alias("u"))
+        ).otherwise(acc),
+    )["u"]
+    return (
+        claims.join(F.broadcast(warr))
+        .withColumn("assigned_worker", pick)
+        .drop("__ws")
     )
 
 

@@ -150,3 +150,20 @@ def test_assign_workers_balanced_and_deterministic(spark):
     n_workers = wk.filter("type = 'CPU'").count()
     fair = len(m1) / n_workers
     assert max(counts.values()) < 3 * fair + 2, counts.most_common(3)
+
+
+def test_assign_workers_minimal_reassignment_on_churn(spark):
+    """Rendezvous hashing: removing one worker moves ONLY the claims that
+    were assigned to it — everyone else keeps their worker."""
+    fr = _frontier(spark, 600)
+    wk = datagen.workers(spark)
+    claims = claim.claim_batch(fr, None, seed=4, default_budget=40)
+    before = {r["number"]: r["assigned_worker"]
+              for r in claim.assign_workers(claims, wk, worker_type="CPU", seed=3).collect()}
+    victim = sorted(set(before.values()))[0]
+    wk2 = wk.filter(F.col("uuid") != victim)
+    after = {r["number"]: r["assigned_worker"]
+             for r in claim.assign_workers(claims, wk2, worker_type="CPU", seed=3).collect()}
+    moved = {n for n in before if before[n] != after[n]}
+    assert moved == {n for n, w in before.items() if w == victim}
+    assert victim not in set(after.values())
