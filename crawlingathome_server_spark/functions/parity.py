@@ -76,6 +76,11 @@ def char_fingerprint(text: Column) -> Column:
     ``h = fold(codepoints, h*FP_BASE + c mod FP_MOD)``. NULL → NULL;
     empty text → 0 (guarded: Spark ``ascii('')`` is 0 but DuckDB
     ``unicode('')`` is -1, so both sides special-case '').
+
+    Contract: codepoints in the Basic Multilingual Plane. Astral chars
+    (> U+FFFF) occupy two UTF-16 units, so Spark's ``split('')``
+    produces surrogate halves where DuckDB (UTF-8) produces one char —
+    web text run through extract_text is BMP-normalized upstream.
     """
     chars = F.split(text, "")
     h = F.aggregate(
