@@ -222,6 +222,9 @@ def _scaling_summary() -> dict:
             out["scaling_32_urls_scheduled_per_sec"] = lit["local_32"][
                 "urls_scheduled_per_sec"
             ]
+        fp = s.get("frontier_pipeline")
+        if fp:
+            out["scaling_efficiency_frontier_pipeline"] = fp["efficiency"]
         return out
     return {}
 

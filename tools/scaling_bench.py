@@ -46,7 +46,23 @@ def gen_frontier(spark, n: int = N_ROWS):
     return synth_frontier_expr(spark, n, n_hosts=N_HOSTS, seed=1)
 
 
-def run_level(cores: int) -> dict:
+def _frontier_pages(spark, n: int):
+    """Expression-built page URLs for the full-pipeline scaling job."""
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.concat(
+            F.lit("HTTP://Host"),
+            F.pmod(F.col("id"), F.lit(N_HOSTS)),
+            F.lit(".Example.com:80/p/"),
+            F.col("id"),
+            F.lit("?b=2&a=1#f"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1_600_000_000) + F.col("id") % 86_400).alias("warc_ts"),
+    )
+
+
+def run_level(cores: int, job: str = "claim") -> dict:
     from crawlingathome_server_spark.operators import claim as claim_op
     from crawlingathome_server_spark.session import get_spark
 
@@ -66,35 +82,55 @@ def run_level(cores: int) -> dict:
             "spark.local.dir": "/dev/shm/spark-graft-shuffle",
         },
     )
-    fr = spark.read.parquet(DATA_DIR)
-    # warmup: codegen + file listing, small round
-    claim_op.claim_batch(fr.limit(50_000), None, seed=0, default_budget=2).count()
+    if job == "frontier":
+        # the FULL flagship pipeline (canonicalize → host → hash → dedup
+        # → claim) over expression-built pages — the north-star metric
+        # (frontier URLs scheduled/sec) end to end
+        from crawlingathome_server_spark.plans.rounds import expand_frontier
 
-    timings = []
-    n_claims = 0
-    for r in range(ROUNDS):
-        t0 = time.perf_counter()
-        n_claims = claim_op.claim_batch(
-            fr, None, seed=100 + r, default_budget=16, salt_buckets=8,
-            with_payload=False,
+        n_rows = N_ROWS // 8  # pipeline is ~8× heavier per row than the claim
+        pages = _frontier_pages(spark, n_rows)
+        expand_frontier(
+            pages.limit(50_000), None, seed=0, default_budget=1 << 30
         ).count()
-        timings.append(time.perf_counter() - t0)
+        timings, n_claims = [], 0
+        for r in range(ROUNDS):
+            t0 = time.perf_counter()
+            n_claims = expand_frontier(
+                pages, None, seed=100 + r, default_budget=1 << 30
+            ).count()
+            timings.append(time.perf_counter() - t0)
+    else:
+        fr = spark.read.parquet(DATA_DIR)
+        n_rows = N_ROWS
+        # warmup: codegen + file listing, small round
+        claim_op.claim_batch(fr.limit(50_000), None, seed=0, default_budget=2).count()
+        timings, n_claims = [], 0
+        for r in range(ROUNDS):
+            t0 = time.perf_counter()
+            n_claims = claim_op.claim_batch(
+                fr, None, seed=100 + r, default_budget=16, salt_buckets=8,
+                with_payload=False,
+            ).count()
+            timings.append(time.perf_counter() - t0)
     best = min(timings)
     spark.stop()
     return {
         "cores": cores,
-        "n_rows": N_ROWS,
+        "job": job,
+        "n_rows": n_rows,
         "n_claims": n_claims,
         "round_sec": [round(t, 3) for t in timings],
         "best_sec": round(best, 3),
         "urls_scheduled_per_sec": round(n_claims / best, 1),
-        "frontier_rows_per_sec": round(N_ROWS / best, 1),
+        "frontier_rows_per_sec": round(n_rows / best, 1),
     }
 
 
 def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--run":
-        print(json.dumps(run_level(int(sys.argv[2]))))
+        job = sys.argv[3] if len(sys.argv) > 3 else "claim"
+        print(json.dumps(run_level(int(sys.argv[2]), job)))
         return
 
     # 1. generate input once (deterministic, partitioning-independent)
@@ -110,9 +146,13 @@ def main():
     # confounds "scaling" with "whoever else was running then".
     levels = tuple(sorted(set(CORES) | set(LITERAL_CORES)))
     results = {}
-    for cores in levels + levels:
+    frontier_results = {}
+    plan = [(c, "claim") for c in levels + levels] + [
+        (c, "frontier") for c in CORES + CORES
+    ]
+    for cores, job in plan:
         out = subprocess.run(
-            [sys.executable, __file__, "--run", str(cores)],
+            [sys.executable, __file__, "--run", str(cores), job],
             capture_output=True,
             text=True,
             check=True,
@@ -120,19 +160,22 @@ def main():
         )
         r = json.loads(out.stdout.strip().splitlines()[-1])
         print(json.dumps(r))
-        prev = results.get(cores)
+        bucket = results if job == "claim" else frontier_results
+        prev = bucket.get(cores)
         if prev is None or r["best_sec"] < prev["best_sec"]:
-            results[cores] = r
+            bucket[cores] = r
 
-    def _eff(pair):
+    def _eff(pair, res=None):
+        res = res if res is not None else results
         lo, hi = pair
         return (
-            results[hi]["frontier_rows_per_sec"] / results[lo]["frontier_rows_per_sec"]
+            res[hi]["frontier_rows_per_sec"] / res[lo]["frontier_rows_per_sec"]
         ) / (hi / lo)
 
     n, n4 = CORES
     eff = _eff(CORES)
     eff_lit = _eff(LITERAL_CORES)
+    eff_frontier = _eff(CORES, frontier_results)
     summary = {
         "metric": "frontier URLs scheduled/sec, scaling efficiency N->4N",
         "local_N": results[n],
@@ -147,6 +190,13 @@ def main():
             "local_8": results[LITERAL_CORES[0]],
             "local_32": results[LITERAL_CORES[1]],
             "efficiency": round(eff_lit, 3),
+        },
+        # the full flagship pipeline (canonicalize→dedup→claim) at the
+        # same two levels — the north-star metric end to end
+        "frontier_pipeline": {
+            "local_N": frontier_results[n],
+            "local_4N": frontier_results[n4],
+            "efficiency": round(eff_frontier, 3),
         },
     }
     os.makedirs("/root/repo/BENCH", exist_ok=True)
@@ -167,6 +217,18 @@ politeness-budgeted two-phase salted claim (operators/claim.py), best of
 | local[{n4}] (4N) | {results[n4]['best_sec']} | {results[n4]['frontier_rows_per_sec']:,.0f} | {results[n4]['urls_scheduled_per_sec']:,.0f} |
 
 **Scaling efficiency (thr_4N / thr_N) / 4 = {eff:.3f}** (target ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+
+## Full frontier pipeline at local[{n}] vs local[{n4}]
+
+The north-star metric end to end — canonicalize → host → hash → dedup →
+politeness claim over {N_ROWS // 8:,} expression-built page URLs:
+
+| parallelism | best round (s) | URLs scheduled/s |
+|---|---|---|
+| local[{n}] (N) | {frontier_results[n]['best_sec']} | {frontier_results[n]['urls_scheduled_per_sec']:,.0f} |
+| local[{n4}] (4N) | {frontier_results[n4]['best_sec']} | {frontier_results[n4]['urls_scheduled_per_sec']:,.0f} |
+
+**Frontier-pipeline scaling efficiency = {eff_frontier:.3f}** (target ≥ 0.8: {"PASS" if eff_frontier >= 0.8 else "FAIL"})
 
 ## Literal local[8] vs local[32] (the pair the north rule names)
 
