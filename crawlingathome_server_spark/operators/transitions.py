@@ -138,16 +138,28 @@ def admin_mark_done(frontier: DataFrame, probe: DataFrame) -> DataFrame:
 
 
 def gpu_invalid_download(frontier: DataFrame, numbers: DataFrame) -> DataFrame:
-    """Revert a GPU-stage job back to open CPU stage."""
+    """Revert a GPU-stage job back to open CPU stage.
+
+    Closed jobs are untouchable: in the reference a completed shard is
+    detached from its worker (``client.shard = None``, main.py:653,683),
+    so gpuInvalidDownload (main.py:700-717, which requires the worker to
+    still HOLD the shard) can never reach a closed job — the batch merge
+    states that precondition explicitly (caught by the randomized
+    engine-vs-simulator fuzz)."""
+    keep = F.col("closed")
     return merge_update(
         frontier,
         numbers.select("number").dropDuplicates(["number"]),
         "number",
         {
-            "gpu": F.lit(False),
-            "gpu_url": F.lit(None).cast("string"),
-            "cpu_completor": F.lit(None).cast("string"),
-            "pending": F.lit(False),
+            "gpu": F.when(keep, F.col("gpu")).otherwise(F.lit(False)),
+            "gpu_url": F.when(keep, F.col("gpu_url")).otherwise(
+                F.lit(None).cast("string")
+            ),
+            "cpu_completor": F.when(keep, F.col("cpu_completor")).otherwise(
+                F.lit(None).cast("string")
+            ),
+            "pending": F.when(keep, F.col("pending")).otherwise(F.lit(False)),
         },
     )
 

@@ -587,3 +587,87 @@ def test_crawl_engine_filter_rebuild_on_capacity(spark, tmp_path):
     claimed3 = eng.run_round(datagen.pages(spark, seed=50, n=200), round_epoch=3)
     assert claimed3.count() == 0
     assert p1 is not None
+
+
+def test_engine_matches_simulator_under_random_ops(spark):
+    """Randomized state-machine equivalence: 4 rounds of claims followed
+    by RANDOM completions (cpu/hybrid, postgres short-circuits, NULL-url
+    invalids, unknown numbers, already-closed no-ops), releases, and
+    gpu-invalid reverts — the engine's final per-job state must equal the
+    pure-Python reference simulator's, bit for bit, and every claim round
+    must match the simulator's ordering."""
+    import random
+
+    from crawlingathome_server_spark.operators import transitions as tr
+
+    rng = random.Random(20260816)
+    fr = dedup_by_number(datagen.frontier(spark, n=400))
+    budgets_pdf = datagen.gen_robots_pdf()
+    budgets = dict(
+        zip(budgets_pdf["host"], (int(x) for x in budgets_pdf["max_claims_per_round"]))
+    )
+    rb = datagen.robots(spark)
+    sim = Simulator()
+    sim.add_jobs(
+        [
+            SimJob(
+                number=r["number"], url=r["url"], host=r["host"],
+                priority=r["priority"], gpu=r["gpu"], gpu_url=r["gpu_url"],
+                pending=r["pending"], closed=r["closed"],
+                completor=r["completor"], cpu_completor=r["cpu_completor"],
+            )
+            for r in fr.collect()
+        ]
+    )
+    numbers = sorted(sim.jobs)
+    for k in range(1, 5):
+        claims = claim_op.claim_batch(fr, rb, seed=300 + k, use_oracle_hash=True)
+        got = sorted(r["number"] for r in claims.collect())
+        want = sim.claim_round(seed=300 + k, round_epoch=k, budgets=budgets)
+        assert got == want, f"round {k} claim ordering diverged"
+        fr = claim_op.apply_claims(fr, claims, round_epoch=k)
+
+        # random completions: real numbers + unknowns, all kinds of urls
+        picks = rng.sample(numbers, 40) + [10**9 + k]
+        comps = []
+        for n in picks:
+            kind = rng.choice(["cpu", "cpu", "hybrid", "gpu"])
+            gpu_url = rng.choice(
+                [None, "postgres://db/x", f"https://art/{n}", f"https://art2/{n}"]
+            )
+            nickname = rng.choice(["alice", "bob", "carol"])
+            sim.complete(n, kind=kind, nickname=nickname, count=1, gpu_url=gpu_url)
+            comps.append((n, "u", nickname, kind, 1, gpu_url, k))
+        fr = tr.complete_jobs(
+            fr,
+            spark.createDataFrame(
+                pd.DataFrame(
+                    comps,
+                    columns=["number", "worker_uuid", "nickname", "kind", "count",
+                             "gpu_url", "epoch"],
+                ),
+                schema=schemas.COMPLETIONS,
+            ),
+        )
+        # random releases + gpu-invalid reverts
+        rel = rng.sample(numbers, 12)
+        for n in rel:
+            sim.release(n)
+        fr = tr.release_claims(fr, spark.createDataFrame([(n,) for n in rel], ["number"]))
+        inv = rng.sample(numbers, 12)
+        for n in inv:
+            sim.gpu_invalid_download(n)
+        fr = tr.gpu_invalid_download(
+            fr, spark.createDataFrame([(n,) for n in inv], ["number"])
+        )
+        fr = fr.localCheckpoint()  # keep the plan from growing across rounds
+
+    got_state = {
+        r["number"]: (r["pending"], r["closed"], r["gpu"], r["gpu_url"],
+                      r["completor"], r["cpu_completor"])
+        for r in fr.collect()
+    }
+    want_state = {n: sim.state_tuple(n) for n in numbers}
+    diffs = {n: (got_state[n], want_state[n]) for n in numbers
+             if got_state[n] != want_state[n]}
+    assert not diffs, f"{len(diffs)} diverging jobs, e.g. {list(diffs.items())[:3]}"
