@@ -144,6 +144,13 @@ class Simulator:
             j.cpu_completor = None
             j.pending = False
 
+    # -- heartbeat (main.py:620) --------------------------------------------
+
+    def heartbeat(self, uuid: str, epoch: int, progress: str | None = None):
+        w = self.workers.get(uuid)
+        if w is not None:
+            w.last_seen = epoch
+
     # -- reaper (main.py:748-759) -----------------------------------------
 
     def reap_idle(self, now_epoch: int) -> int:

@@ -2,6 +2,7 @@
 simulator-oracle equivalence of the claim sequence (SURVEY.md §5)."""
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from crawlingathome_server_spark import datagen, schemas
@@ -589,18 +590,20 @@ def test_crawl_engine_filter_rebuild_on_capacity(spark, tmp_path):
     assert p1 is not None
 
 
-def test_engine_matches_simulator_under_random_ops(spark):
+@pytest.mark.parametrize("fuzz_seed", [20260816, 7, 424242])
+def test_engine_matches_simulator_under_random_ops(spark, fuzz_seed):
     """Randomized state-machine equivalence: 4 rounds of claims followed
     by RANDOM completions (cpu/hybrid, postgres short-circuits, NULL-url
     invalids, unknown numbers, already-closed no-ops), releases, and
     gpu-invalid reverts — the engine's final per-job state must equal the
     pure-Python reference simulator's, bit for bit, and every claim round
-    must match the simulator's ordering."""
+    must match the simulator's ordering. (This fuzz caught the
+    closed-job gpu_invalid_download bug.)"""
     import random
 
     from crawlingathome_server_spark.operators import transitions as tr
 
-    rng = random.Random(20260816)
+    rng = random.Random(fuzz_seed)
     fr = dedup_by_number(datagen.frontier(spark, n=400))
     budgets_pdf = datagen.gen_robots_pdf()
     budgets = dict(
@@ -671,3 +674,54 @@ def test_engine_matches_simulator_under_random_ops(spark):
     diffs = {n: (got_state[n], want_state[n]) for n in numbers
              if got_state[n] != want_state[n]}
     assert not diffs, f"{len(diffs)} diverging jobs, e.g. {list(diffs.items())[:3]}"
+
+
+def test_reaper_matches_simulator_under_random_heartbeats(spark):
+    """Worker-lifecycle fuzz: random heartbeats then a reap at a random
+    epoch — surviving worker sets and the released-shard effects on the
+    frontier must match the simulator (U6 + U7 + U1 composed)."""
+    import random
+
+    from crawlingathome_server_spark.operators import transitions as tr
+    from crawlingathome_server_spark.simulator import SimWorker
+
+    rng = random.Random(99)
+    fr = dedup_by_number(datagen.frontier(spark, n=300))
+    wk = datagen.workers(spark)
+    sim = Simulator()
+    sim.add_jobs(
+        [
+            SimJob(
+                number=r["number"], url=r["url"], host=r["host"],
+                priority=r["priority"], gpu=r["gpu"], gpu_url=r["gpu_url"],
+                pending=r["pending"], closed=r["closed"],
+                completor=r["completor"], cpu_completor=r["cpu_completor"],
+            )
+            for r in fr.collect()
+        ]
+    )
+    for r in wk.collect():
+        sim.workers[r["uuid"]] = SimWorker(
+            uuid=r["uuid"], type=r["type"], shard_number=r["shard_number"],
+            first_seen=r["first_seen"], last_seen=r["last_seen"],
+        )
+    uuids = sorted(sim.workers)
+    base = max(w.last_seen for w in sim.workers.values())
+    # random heartbeats over a random subset
+    beats = [(u, f"{rng.randint(0,100)}%", base + rng.randint(-9000, 3000))
+             for u in rng.sample(uuids, len(uuids) // 2)]
+    for u, p, e in beats:
+        sim.heartbeat(u, e, p)
+    wk = tr.heartbeat(
+        wk,
+        spark.createDataFrame(
+            pd.DataFrame(beats, columns=["uuid", "progress", "epoch"])
+        ),
+    )
+    now = base + rng.randint(0, 4000)
+    sim.reap_idle(now)
+    fr2, wk2 = tr.reap_idle(fr, wk, now)
+    assert {r["uuid"] for r in wk2.collect()} == set(sim.workers)
+    got = {r["number"]: (r["pending"], r["completor"]) for r in fr2.collect()}
+    want = {n: (j.pending, j.completor) for n, j in sim.jobs.items()}
+    assert got == want
