@@ -8,12 +8,16 @@
 - embedding cosine near-dup: see operators/similarity.py
 
 Scale notes: the LSH path is the 100 TB design — signatures are computed
-in one vectorized pandas pass (numpy matrix ops per Arrow batch), the
-band-bucket explode produces (n_bands × docs) rows that groupBy into
-buckets, and only same-bucket pairs are verified. No pairwise cross join
-ever materializes beyond candidate buckets. Hot buckets (boilerplate
-docs) are capped with a per-bucket limit — the same skew-bounding move
-as the claim operator's salt phase.
+JVM-side in ONE fold over the shingle hashes (all n_hashes affine mins
+updated together; hash family: xxhash64 at-scale default, md5 for the
+SQL-oracle-verified variant, SipHash pandas as an independent
+cross-check), the band-bucket explode produces (n_bands × docs) rows
+that groupBy into buckets, and only same-bucket pairs are verified —
+with the shingle sets computed AFTER the candidate join, so only matched
+pairs get hashed. No pairwise cross join ever materializes beyond
+candidate buckets. Hot buckets (boilerplate docs) are capped with a
+per-bucket limit — the same skew-bounding move as the claim operator's
+salt phase.
 """
 
 from __future__ import annotations

@@ -5,9 +5,12 @@ flags + row locks (models.py:31-32,105-131) — per-row state in Postgres.
 At 10^10 URLs the seen-set must be a compact, partitioned, mergeable
 structure instead:
 
-- build: ``canonical_url → xxhash64 → pmod(hash, n_buckets)`` bucket;
+- build: ``canonical_url → 64-bit hash → pmod(hash, n_buckets)`` bucket
+  (xxhash64 at-scale default; md5-parity family for the oracle-verified
+  variant, whose false positives the DuckDB oracle predicts exactly);
   per-bucket bitmap built with ``applyInPandas`` (Arrow batches, numpy
-  bit-ops — no per-row Python);
+  bit-ops — no per-row Python); sized by ``auto_params`` from a count
+  estimate; bitmaps OR-merge incrementally across crawl rounds;
 - probe: candidates join their bucket's bitmap (bucketed equi-join; the
   bitmap table is ``n_buckets`` rows → broadcast at any scale, since
   n_buckets*bytes_per_bucket is the total filter size, sized to executor
