@@ -167,3 +167,50 @@ def test_assign_workers_minimal_reassignment_on_churn(spark):
     moved = {n for n in before if before[n] != after[n]}
     assert moved == {n for n, w in before.items() if w == victim}
     assert victim not in set(after.values())
+
+
+def test_claim_under_pathological_host_skew(spark):
+    """90% of a 400k-row frontier on ONE host: the salted two-phase rank
+    must (a) complete with bounded per-task work and (b) return exactly
+    the per-host top-budget the unsalted spec defines."""
+    n = 400_000
+    fr = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("number"),
+            F.when(F.col("id") % 10 < 9, F.lit("hot.example.com"))
+            .otherwise(F.concat(F.lit("h"), F.col("id") % 997))
+            .alias("host"),
+            (F.pmod(F.col("id") * 37, F.lit(1000)) / 1000.0).alias("priority"),
+            F.lit(False).alias("pending"),
+            F.lit(False).alias("closed"),
+            F.lit(False).alias("gpu"),
+        )
+    )
+    robots = spark.createDataFrame(
+        [("hot.example.com", 7)], ["host", "max_claims_per_round"]
+    )
+    got = claim.claim_batch(
+        fr, robots, seed=5, default_budget=3, salt_buckets=16,
+        use_oracle_hash=True, with_payload=False,
+    )
+    rows = got.collect()
+    per_host = {}
+    for r in rows:
+        per_host.setdefault(r["host"], []).append(r)
+    assert len(per_host["hot.example.com"]) == 7
+    assert all(len(v) <= 3 for h, v in per_host.items() if h != "hot.example.com")
+    # spec equivalence on the hot host: global rank over all its rows
+    hot = fr.filter(F.col("host") == "hot.example.com").select(
+        "number",
+        "priority",
+        ((F.col("number") * 2654435761 + 5) % 4294967296).alias("ok"),
+    )
+    w = Window.orderBy(F.desc("priority"), F.asc("ok"), F.asc("number"))
+    want = {
+        r["number"]
+        for r in hot.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 7)
+        .collect()
+    }
+    assert {r["number"] for r in per_host["hot.example.com"]} == want

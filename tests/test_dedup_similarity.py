@@ -341,3 +341,22 @@ def test_ivf_topk_recall_vs_brute_force(spark, vectors):
         ).collect()
     }
     assert len(approx & exact) / len(exact) >= 0.5  # coarse recall bound
+
+
+def test_minhash_mega_bucket_is_capped(spark):
+    """A boilerplate mega-bucket (400 identical docs) must be truncated
+    at max_bucket BEFORE pair generation — candidate pairs stay bounded
+    by C(cap,2) per band instead of C(400,2), and the pipeline still
+    links every capped member to the keeper set via the surviving pairs."""
+    rows = [(i, "the same boilerplate text repeated here " * 5) for i in range(400)]
+    rows += [(1000 + i, f"unique doc {i} with words w{i} w{i+1} w{i+2} filler") for i in range(50)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sigs = dedup.minhash_signatures_expr(docs)
+    cap = 20
+    pairs = dedup.lsh_candidate_pairs(sigs, max_bucket=cap)
+    got = pairs.collect()
+    # bounded: all pairs come from the first `cap` members per bucket —
+    # far fewer than C(400,2)=79800
+    assert 0 < len(got) <= 16 * cap * (cap - 1) // 2
+    members = {r["a"] for r in got} | {r["b"] for r in got}
+    assert members <= set(range(cap)) | set(range(1000, 1050))
