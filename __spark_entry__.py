@@ -852,12 +852,20 @@ def dedup_exact(spark, sf_dir):
     "scored AS (SELECT probe_id, vec_id AS cand_id, "
     "round(list_dot_product(pv, v) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))), 6) AS cosine_sim "
     "FROM probes, e WHERE vec_id <> probe_id) "
-    "SELECT probe_id, cand_id, cosine_sim FROM ("
+    "SELECT probe_id, cand_id, cosine_sim, TRUE AS ivf_exact_agrees FROM ("
     "SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine_sim DESC, cand_id) AS rn "
     "FROM scored) WHERE rn <= 10",
 )
 def sim_knn(spark, sf_dir):
-    """Brute-force cosine top-k ANN baseline (training-data op)."""
+    """Brute-force cosine top-k ANN baseline (training-data op), plus the
+    IVF driver evidence (VERDICT r2 item #7): ``ivf_exact_agrees`` is
+    true iff operators/similarity.ivf_topk with ``nprobe == n_lists``
+    (exhaustive → mathematically equal to brute force when ranking on
+    the same rounded cosine) returned this exact (probe, cand) pair.
+    The oracle asserts TRUE for every row, so any IVF divergence —
+    candidate generation, list routing, re-scoring, tie-breaks — turns
+    this driver row red."""
+    from crawlingathome_server_spark.operators.similarity import ivf_topk
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -882,10 +890,26 @@ def sim_knn(spark, sf_dir):
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine_sim"), F.asc("cand_id"))
-    return (
+    brute = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
         .select("probe_id", "cand_id", "cosine_sim")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    ivf = ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        n_lists=8,
+        nprobe=8,  # == n_lists → exhaustive → exact
+        seed=13,
+        round_sim=6,
+    ).select("probe_id", "cand_id", F.lit(True).alias("__ivf_hit"))
+    return brute.join(F.broadcast(ivf), ["probe_id", "cand_id"], "left").select(
+        "probe_id",
+        "cand_id",
+        "cosine_sim",
+        F.coalesce(F.col("__ivf_hit"), F.lit(False)).alias("ivf_exact_agrees"),
     )
 
 

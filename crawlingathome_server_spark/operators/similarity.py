@@ -307,11 +307,18 @@ def ivf_topk(
     seed: int = 13,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_sim: int | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: each probe searches only its ``nprobe`` nearest
     inverted lists (centroid distances computed against the broadcast
     centroid table with built-in array ops), candidates join on list_id,
-    exact cosine re-score, window rank."""
+    exact cosine re-score, window rank.
+
+    ``round_sim`` rounds the cosine before ranking so the ranking (incl.
+    tie-breaks) is bit-comparable with a brute-force run that ranks on
+    the same rounded value — with ``nprobe == n_lists`` the search is
+    exhaustive, so the result then EQUALS brute force row-for-row (the
+    ``ivf_exact_agrees`` driver evidence)."""
     from ..util import spread
 
     embeddings = spread(embeddings)
@@ -345,15 +352,14 @@ def ivf_topk(
         embeddings.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")),
         on=id_col,
     ).select(F.col(id_col).alias("cand_id"), "list_id", "v")
+    sim = cosine_expr(F.col("pv"), F.col("v"))
+    if round_sim is not None:
+        sim = F.round(sim, round_sim)
     scored = (
         probe_lists.join(cands, on="list_id")
         .filter(F.col("cand_id") != F.col("probe_id"))
         .dropDuplicates(["probe_id", "cand_id"])
-        .select(
-            "probe_id",
-            "cand_id",
-            cosine_expr(F.col("pv"), F.col("v")).alias("cosine_sim"),
-        )
+        .select("probe_id", "cand_id", sim.alias("cosine_sim"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine_sim"), F.asc("cand_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")

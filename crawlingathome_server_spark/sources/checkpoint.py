@@ -57,6 +57,15 @@ class CheckpointStore:
         self.root = root
         self.n_partitions = n_partitions
         os.makedirs(root, exist_ok=True)
+        # Reopening an existing store adopts the latest manifest's bucket
+        # count (it may have been re-bucketed by compact()); the ctor arg
+        # only sizes NEW stores. Delta commits hash changed keys with the
+        # PARENT's count, so bucket inheritance stays exact across reopen.
+        latest = self.latest_snapshot_id()
+        if latest is not None:
+            self.n_partitions = self.read_manifest(latest).get(
+                "n_partitions", n_partitions
+            )
 
     # -- manifest helpers --------------------------------------------------
 
@@ -75,8 +84,8 @@ class CheckpointStore:
         with open(self._manifest_path(snap_id)) as f:
             return json.load(f)
 
-    def _bucket(self, key_col) -> F.Column:
-        return F.pmod(F.xxhash64(key_col), F.lit(self.n_partitions))
+    def _bucket(self, key_col, n_partitions: int | None = None) -> F.Column:
+        return F.pmod(F.xxhash64(key_col), F.lit(n_partitions or self.n_partitions))
 
     # -- commit ------------------------------------------------------------
 
@@ -88,6 +97,7 @@ class CheckpointStore:
         round_epoch: int,
         counters: dict[str, Any] | None = None,
         deltas: dict[str, Any] | None = None,
+        n_partitions: int | None = None,
     ) -> int:
         """Write snapshot N+1.
 
@@ -97,12 +107,29 @@ class CheckpointStore:
           - a DataFrame whose FIRST column holds the changed keys →
             rewrite only the buckets those keys hash into, inherit the
             rest from the parent manifest.
+
+        ``n_partitions`` re-buckets the store in this commit (only valid
+        as a FULL rewrite — bucket inheritance cannot cross bucket
+        functions, so ``deltas`` must be empty). Normal commits pin the
+        bucket count to the parent manifest's, so delta hashing always
+        matches the buckets on disk even after a re-bucketing compact().
         """
         deltas = deltas or {}
         parent = self.latest_snapshot_id()
         parent_tables: dict[str, Any] = {}
+        eff_parts = self.n_partitions
         if parent is not None:
-            parent_tables = self.read_manifest(parent)["tables"]
+            pm = self.read_manifest(parent)
+            parent_tables = pm["tables"]
+            eff_parts = pm.get("n_partitions", self.n_partitions)
+        if n_partitions is not None and n_partitions != eff_parts:
+            if deltas:
+                raise ValueError(
+                    "re-bucketing commit must be a full rewrite (no deltas): "
+                    f"{eff_parts} -> {n_partitions} buckets"
+                )
+            eff_parts = n_partitions
+            parent_tables = {}  # inheritance impossible across bucket fns
         snap_id = (parent or 0) + 1
         snap_dir = os.path.join(self.root, f"s{snap_id:06d}")
         table_meta: dict[str, Any] = {}
@@ -121,15 +148,15 @@ class CheckpointStore:
                     changed = sorted(
                         r[0]
                         for r in delta.select(
-                            self._bucket(F.col(delta.columns[0])).alias("b")
+                            self._bucket(F.col(delta.columns[0]), eff_parts).alias("b")
                         )
                         .distinct()
                         .collect()
                     )
                 else:
-                    changed = list(range(self.n_partitions))
+                    changed = list(range(eff_parts))
 
-                part_df = df.withColumn("__part", self._bucket(F.col(key)))
+                part_df = df.withColumn("__part", self._bucket(F.col(key), eff_parts))
                 to_write = part_df.filter(F.col("__part").isin(changed))
                 path = os.path.join(snap_dir, name)
                 to_write.write.mode("overwrite").partitionBy("__part").parquet(path)
@@ -140,7 +167,7 @@ class CheckpointStore:
                     .collect()
                 }
                 partitions = {}
-                for b in range(self.n_partitions):
+                for b in range(eff_parts):
                     sb = str(b)
                     if b in changed:
                         partitions[sb] = {
@@ -165,6 +192,7 @@ class CheckpointStore:
         manifest = {
             "snapshot_id": snap_id,
             "parent_snapshot_id": parent,
+            "n_partitions": eff_parts,
             "seed": seed,
             "round_epoch": round_epoch,
             "created_unix": int(time.time()),
@@ -175,6 +203,7 @@ class CheckpointStore:
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=2, sort_keys=True)
         os.replace(tmp, self._manifest_path(snap_id))  # atomic commit point
+        self.n_partitions = eff_parts
         return snap_id
 
     # -- read ----------------------------------------------------------------
@@ -200,10 +229,23 @@ class CheckpointStore:
 
     # -- maintenance -----------------------------------------------------
 
-    def compact(self, spark: SparkSession, *, seed: int, round_epoch: int) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        *,
+        seed: int,
+        round_epoch: int,
+        n_partitions: int | None = None,
+    ) -> int:
         """Full rewrite of every table into one snapshot — collapses long
         delta chains (Iceberg's rewrite_data_files analogue). Run when
-        inherited-bucket fan-out makes reads touch too many snapshots."""
+        inherited-bucket fan-out makes reads touch too many snapshots.
+
+        ``n_partitions`` re-buckets the store in the same rewrite: a store
+        sized at 8 buckets for 10^8 keys compacts into 32 (or 4096) as the
+        key count grows, and subsequent delta commits hash against the new
+        count (pinned in the manifest). Since compaction is a full rewrite
+        anyway, re-bucketing is free here."""
         latest = self.latest_snapshot_id()
         if latest is None:
             raise FileNotFoundError("nothing to compact")
@@ -212,7 +254,11 @@ class CheckpointStore:
             for name in self.read_manifest(latest)["tables"]
         }
         return self.commit(
-            tables, seed=seed, round_epoch=round_epoch, counters={"compaction": True}
+            tables,
+            seed=seed,
+            round_epoch=round_epoch,
+            counters={"compaction": True},
+            n_partitions=n_partitions,
         )
 
     def expire_snapshots(self, keep_last: int = 2) -> list[int]:
