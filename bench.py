@@ -3,7 +3,12 @@
     {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Per-query timings are best-of-2 (the box hosts noisy CPU neighbors; the
-min-of-N protocol is documented in BENCH/BASELINE.md).
+min-of-N protocol is documented in BENCH/BASELINE.md). Protocol history
+(cross-round deltas): r01 single-shot + count() sink; r02 best-of-2 +
+count() sink; r03+ best-of-2 + NOOP-WRITE sink — count() let Catalyst
+prune projection-only queries down to a parquet row-count (VERDICT r2
+#1), so r03 projection timings are the first honest ones and are
+EXPECTED to be higher than r02's.
 
 Runs on ``local[$SPARK_GRAFT_CPUS]`` over ``$SPARK_GRAFT_SF_DIR``
 (default /root/testdata/sf0.1). The headline metric is the total wall
@@ -22,9 +27,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _materialize(df) -> int:
-    """Force full execution without collecting rows to the driver."""
-    return df.count()
+def _materialize(df) -> None:
+    """Force full execution of EVERY output column without collecting
+    rows to the driver. Spark's built-in noop sink consumes each row
+    whole, so nothing above the scan can be pruned — unlike count(),
+    which folds a projection-only plan into a parquet row-count
+    (NOTES.md; VERDICT r2 'what's wrong' #1)."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def run_bench(spark, sf_dir: str) -> dict:
@@ -144,11 +153,35 @@ def run_bench(spark, sf_dir: str) -> dict:
         fr2m, None, seed=1, default_budget=16, with_payload=False
     ).count()
     claim_s = best_of(
-        lambda: claim_batch(
-            fr2m, None, seed=1, default_budget=16, with_payload=False
-        ).count()
+        lambda: _materialize(
+            claim_batch(fr2m, None, seed=1, default_budget=16, with_payload=False)
+        )
     )
     timings["claim_frontier_2m"] = claim_s
+
+    # the COLUMN-budget (robots) claim path at the same volume — the salted
+    # two-phase rank that exists precisely for 100× hot-host skew (VERDICT
+    # r2 item #2: stress-tested but previously unbenched). Per-host budgets
+    # 1..16 (mean ≈ the literal path's 16 is not matched on purpose — the
+    # comparison is plan shape, not claim count).
+    robots_2m = spark.range(50_000).select(
+        F.concat(F.lit("host"), F.col("id"), F.lit(".example.com")).alias("host"),
+        (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(16)) + 1)
+        .cast("int")
+        .alias("max_claims_per_round"),
+    )
+
+    def _budgeted():
+        return claim_batch(fr2m, robots_2m, seed=1, with_payload=False)
+
+    # plan assertion: the BENCHED plan must contain both rank phases
+    # (salted pre-rank + exact per-host re-rank)
+    budgeted_plan = _budgeted()._jdf.queryExecution().executedPlan().toString()
+    assert budgeted_plan.count("Window") >= 2, budgeted_plan
+    n_claims_budgeted = _budgeted().count()
+    timings["claim_frontier_2m_budgeted"] = best_of(
+        lambda: _materialize(_budgeted())
+    )
 
     # URL-seen structure at bench scale: build a bucketed bloom over 1M
     # canonical urls and probe 1M candidates (half seen, half novel)
@@ -178,13 +211,101 @@ def run_bench(spark, sf_dir: str) -> dict:
     urlseen_s = best_of(_urlseen_job)
     timings["urlseen_build_probe_1m"] = urlseen_s
 
+    # F10 extract_text at volume (VERDICT r2 item #4): the per-page work
+    # that dominates a 100 TB crawl. Expression-built html corpus (~1 KB/
+    # page, incl. a script block + entities), both the byte-stable pandas
+    # path and the codegen JVM twin, reported as MB/s.
+    from crawlingathome_server_spark.functions.text import (
+        extract_text,
+        extract_text_jvm,
+    )
+
+    n_html = 400_000
+    filler = (
+        "the quick brown fox jumps over the lazy dog while the crawler "
+        "counts tokens and strips boilerplate markup from each page "
+    )
+    html_pages = spark.range(n_html).select(
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>t"),
+                F.col("id"),
+                F.lit("</title><script>var x=1; if (x&lt;2) {}</script></head><body><p>"),
+                F.repeat(F.lit(filler), (F.pmod(F.col("id"), F.lit(5)) + 4).cast("int")),
+                F.lit("&amp; tail &lt;tag&gt; of doc "),
+                F.col("id"),
+                F.lit('</p><a href="http://h'),
+                F.pmod(F.col("id"), F.lit(997)),
+                F.lit('.example.com/next">n</a></body></html>'),
+            ),
+            "UTF-8",
+        ).alias("html")
+    )
+    html_bytes = html_pages.agg(F.sum(F.length("html"))).collect()[0][0]
+    timings["extract_text_400k_pandas"] = best_of(
+        lambda: _materialize(html_pages.select(extract_text(F.col("html")).alias("t")))
+    )
+    timings["extract_text_400k_jvm"] = best_of(
+        lambda: _materialize(html_pages.select(extract_text_jvm(F.col("html")).alias("t")))
+    )
+
+    # one full crawl round THROUGH the checkpoint store at volume (VERDICT
+    # r2 item #5): 2M pages in, bloom probe against the prior round's
+    # persisted filter, politeness claim, seen-set delta-commit + filter
+    # OR-merge + manifest out. Round 1 (untimed) seeds the store; round 2
+    # (timed, single-shot — the engine is stateful, so best-of-N would
+    # time different rounds) is the steady-state delta path: half its
+    # pages are already seen.
+    import shutil
+    import tempfile
+
+    from crawlingathome_server_spark.plans.rounds import CrawlEngine
+    from crawlingathome_server_spark.sources.checkpoint import CheckpointStore
+
+    def _crawl_pages(lo: int, hi: int):
+        return spark.range(lo, hi).select(
+            F.concat(
+                F.lit("http://host"),
+                F.pmod(F.col("id"), F.lit(50_000)),
+                F.lit(".example.com/p/"),
+                F.col("id"),
+            ).alias("url"),
+            F.timestamp_seconds(F.lit(1_600_000_000) + F.col("id") % 86_400).alias(
+                "warc_ts"
+            ),
+        )
+
+    crawl_root = tempfile.mkdtemp(prefix="crawl_round_bench", dir="/tmp")
+    try:
+        store = CheckpointStore(crawl_root, n_partitions=32)
+        engine = CrawlEngine(spark, store, seed=5, default_budget=1 << 30)
+        engine.bootstrap()
+        engine.run_round(_crawl_pages(0, 2_000_000), round_epoch=1)
+        t0 = time.perf_counter()
+        engine.run_round(_crawl_pages(1_000_000, 3_000_000), round_epoch=2)
+        crawl_round_s = round(time.perf_counter() - t0, 4)
+        final_counters = store.read_manifest(store.latest_snapshot_id())["counters"]
+        n_round2 = final_counters["n_claimed"]
+        snap_dir = os.path.join(crawl_root, f"s{store.latest_snapshot_id():06d}")
+        crawl_bytes = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(snap_dir)
+            for f in fs
+        )
+    finally:
+        shutil.rmtree(crawl_root, ignore_errors=True)
+    timings["crawl_round_2m_commit"] = crawl_round_s
+
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    n_cores = spark.sparkContext.defaultParallelism
+    html_mb = html_bytes / 1e6
     return {
         "metric": "headline suite wall time",
         "value": total,
         "unit": "sec",
-        "timing": "best-of-2 per query",
+        "timing": "best-of-2 per query, noop-write sink (r03 protocol; "
+        "crawl_round_2m_commit is single-shot — stateful)",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_pages": n_pages,
@@ -196,8 +317,29 @@ def run_bench(spark, sf_dir: str) -> dict:
         "urls_scheduled_per_sec_sf": round(n_scheduled / flagship_s, 2) if flagship_s else None,
         "claim_frontier_rows_per_sec": round(2_000_000 / claim_s, 1),
         "claim_urls_scheduled_per_sec": round(n_claims_2m / claim_s, 1),
+        "claim_budgeted_rows_per_sec": round(
+            2_000_000 / timings["claim_frontier_2m_budgeted"], 1
+        ),
+        "claim_budgeted_urls_scheduled": n_claims_budgeted,
         "urlseen_urls_per_sec": round(2_000_000 / urlseen_s, 1),
         "urlseen_unseen_found": n_unseen,
+        "extract_text_html_mb": round(html_mb, 1),
+        "extract_text_pandas_mb_per_sec": round(
+            html_mb / timings["extract_text_400k_pandas"], 1
+        ),
+        "extract_text_pandas_mb_per_sec_per_core": round(
+            html_mb / timings["extract_text_400k_pandas"] / n_cores, 2
+        ),
+        "extract_text_jvm_mb_per_sec": round(
+            html_mb / timings["extract_text_400k_jvm"], 1
+        ),
+        "extract_text_jvm_mb_per_sec_per_core": round(
+            html_mb / timings["extract_text_400k_jvm"] / n_cores, 2
+        ),
+        "crawl_round_pages_per_sec": round(2_000_000 / crawl_round_s, 1),
+        "crawl_round_urls_claimed": n_round2,
+        "crawl_round_bytes_rewritten": crawl_bytes,
+        "crawl_round_seen_total": final_counters["n_seen"],
         **_scaling_summary(),
     }
 
@@ -216,6 +358,9 @@ def _scaling_summary() -> dict:
             "scaling_4N_cores": s["local_4N"]["cores"],
             "scaling_4N_urls_scheduled_per_sec": s["local_4N"]["urls_scheduled_per_sec"],
         }
+        p416 = s.get("pair_4_16")
+        if p416:
+            out["scaling_efficiency_4_to_16"] = p416["efficiency"]
         lit = s.get("literal_8_vs_32")
         if lit:
             out["scaling_efficiency_8_to_32_literal"] = lit["efficiency"]

@@ -70,6 +70,52 @@ def test_extract_text_byte_identical(spark):
         assert r["extracted"].split(" ", 1)[1] == r["text"]
 
 
+def test_extract_text_jvm_twin_matches_on_fixtures(spark):
+    """The codegen twin is byte-identical to the Python extractor on the
+    golden fixtures (valid UTF-8, boilerplate-entity subset) — the
+    contract that lets the JVM path serve as the at-scale default."""
+    pages = datagen.pages(spark, seed=7, n=400)
+    got = pages.select(
+        tx.extract_text(F.col("html")).alias("py"),
+        tx.extract_text_jvm(F.col("html")).alias("jvm"),
+    ).collect()
+    assert len(got) == 400
+    for r in got:
+        assert r["py"] == r["jvm"], (r["py"], r["jvm"])
+
+
+def test_extract_text_jvm_twin_entity_subset(spark):
+    """Entity handling: the documented subset decodes identically,
+    including the single-pass &amp;lt; (must NOT double-decode) and
+    &nbsp; (whitespace-collapsed on both paths)."""
+    rows = [
+        (b"<p>a &amp; b &lt; c &gt; d &quot;q&quot; &#39;s&#39;</p>",),
+        (b"<p>a&amp;lt;b</p>",),  # single-pass: stays '&lt;' literally
+        (b"<p>x&nbsp;y &nbsp; z</p>",),
+        (b"<p>no entities at all</p>",),
+        (b"<div><script>var a='<&>';</script>kept</div>",),
+    ]
+    df = spark.createDataFrame(rows, "html binary")
+    for r in df.select(
+        tx.extract_text(F.col("html")).alias("py"),
+        tx.extract_text_jvm(F.col("html")).alias("jvm"),
+    ).collect():
+        assert r["py"] == r["jvm"], (r["py"], r["jvm"])
+
+
+def test_extract_text_jvm_documented_divergence(spark):
+    """Outside the contract the twin diverges EXACTLY as documented:
+    exotic named entities stay literal on the JVM path (html.unescape
+    knows ~2500 names; the twin knows the boilerplate subset)."""
+    df = spark.createDataFrame([(b"<p>&copy; 2020 &mdash; x</p>",)], "html binary")
+    r = df.select(
+        tx.extract_text(F.col("html")).alias("py"),
+        tx.extract_text_jvm(F.col("html")).alias("jvm"),
+    ).collect()[0]
+    assert r["py"] == "© 2020 — x"
+    assert r["jvm"] == "&copy; 2020 &mdash; x"
+
+
 def test_extract_text_deterministic_rerun(spark):
     pages = datagen.pages(spark, seed=7, n=100).repartition(7)
     a = sorted(

@@ -34,8 +34,12 @@ ROUNDS = 5  # min-of-N: the sandbox has noisy CPU neighbors (load avg > 6 at idl
 # N vs 4N *executors*: both levels fit entirely in uncontended physical
 # cores, so the measurement reflects the engine, not the neighbors.
 # The literal pair the north rule names (8 vs 32) is ALSO measured and
-# reported, with the hardware ceiling attached for context.
+# reported, with the hardware ceiling attached for context. The 4→16
+# pair (VERDICT r2 item #3) is the second hardware-feasible 4× ratio —
+# both levels inside the 16 physical cores — corroborating the 2→8
+# number so the SMT-ceiling argument for 8→32 isn't single-sourced.
 CORES = (2, 8)
+SECOND_PAIR = (4, 16)
 LITERAL_CORES = (8, 32)
 
 
@@ -144,7 +148,7 @@ def main():
     # Interleave all levels twice and keep each level's best run: the
     # sandbox has noisy CPU neighbors, so a single serial run per level
     # confounds "scaling" with "whoever else was running then".
-    levels = tuple(sorted(set(CORES) | set(LITERAL_CORES)))
+    levels = tuple(sorted(set(CORES) | set(SECOND_PAIR) | set(LITERAL_CORES)))
     results = {}
     frontier_results = {}
     plan = [(c, "claim") for c in levels + levels] + [
@@ -174,6 +178,7 @@ def main():
 
     n, n4 = CORES
     eff = _eff(CORES)
+    eff_2nd = _eff(SECOND_PAIR)
     eff_lit = _eff(LITERAL_CORES)
     eff_frontier = _eff(CORES, frontier_results)
     summary = {
@@ -183,6 +188,14 @@ def main():
         "efficiency": round(eff, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
+        # second hardware-feasible 4× ratio (both levels within the 16
+        # physical cores) corroborating the primary pair
+        "pair_4_16": {
+            "local_4": results[SECOND_PAIR[0]],
+            "local_16": results[SECOND_PAIR[1]],
+            "efficiency": round(eff_2nd, 3),
+            "pass": eff_2nd >= 0.8,
+        },
         # the literal pair the north rule names, measured on its own terms;
         # ceiling on this box is ~2.9/4 = 0.72 for a PERFECTLY scaling
         # pure-CPU job (SMT sharing + noisy neighbors), see BENCH/BASELINE.md
@@ -217,6 +230,19 @@ politeness-budgeted two-phase salted claim (operators/claim.py), best of
 | local[{n4}] (4N) | {results[n4]['best_sec']} | {results[n4]['frontier_rows_per_sec']:,.0f} | {results[n4]['urls_scheduled_per_sec']:,.0f} |
 
 **Scaling efficiency (thr_4N / thr_N) / 4 = {eff:.3f}** (target ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
+
+## Corroborating 4× pair: local[4] vs local[16] (same job, same protocol)
+
+Both levels inside the 16 physical cores — the second hardware-feasible
+4× datapoint, so the SMT-ceiling argument for the literal 8→32 pair is
+not single-sourced:
+
+| parallelism | best round (s) | frontier rows/s | URLs scheduled/s |
+|---|---|---|---|
+| local[{SECOND_PAIR[0]}] | {results[SECOND_PAIR[0]]['best_sec']} | {results[SECOND_PAIR[0]]['frontier_rows_per_sec']:,.0f} | {results[SECOND_PAIR[0]]['urls_scheduled_per_sec']:,.0f} |
+| local[{SECOND_PAIR[1]}] | {results[SECOND_PAIR[1]]['best_sec']} | {results[SECOND_PAIR[1]]['frontier_rows_per_sec']:,.0f} | {results[SECOND_PAIR[1]]['urls_scheduled_per_sec']:,.0f} |
+
+**4→16 scaling efficiency = {eff_2nd:.3f}** (target ≥ 0.8: {"PASS" if eff_2nd >= 0.8 else "FAIL"})
 
 ## Full frontier pipeline at local[{n}] vs local[{n4}]
 
@@ -268,6 +294,26 @@ window-rank pass replaces per-row lock acquisition.
 
 The headline operator suite at sf0.1 is reported by `python bench.py`
 (driver records it as BENCH_r{{N}}.json per round).
+
+## Bench protocol (history — keep fixed from r03 on)
+
+Cross-round deltas in BENCH_r{{N}}.json are only interpretable against
+the protocol each round used:
+
+- **r01**: single-shot timing, `df.count()` materializer.
+- **r02**: **best-of-2** per query (noisy-neighbor rejection), still
+  `count()`. Part of the r01→r02 speedup is therefore protocol, not
+  engine; direction was unambiguous because every shared query moved.
+- **r03+**: best-of-2 per query, **noop-write materializer**
+  (`df.write.format("noop")`). `count()` let Catalyst prune
+  projection-only plans to a parquet row-count, so r02's timings for
+  `t_lang_id`, `t_quality_features`, `t_token_count_bpeish` measured a
+  row-count, not the operator (VERDICT r2 #1). r03 projection timings
+  are the first honest ones and are EXPECTED to be higher than r02's.
+  `crawl_round_2m_commit` is single-shot (the crawl engine is stateful;
+  a second run would time a different round). `sim_knn_cosine` gained
+  an IVF-agreement stage in r03 (its timing now includes KMeans
+  training — see __spark_entry__.py).
 """
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
         f.write(md)
