@@ -226,6 +226,7 @@ def run_bench(spark, sf_dir: str) -> dict:
         "counts tokens and strips boilerplate markup from each page "
     )
     html_pages = spark.range(n_html).select(
+        "id",
         F.encode(
             F.concat(
                 F.lit("<html><head><title>t"),
@@ -236,7 +237,9 @@ def run_bench(spark, sf_dir: str) -> dict:
                 F.col("id"),
                 F.lit('</p><a href="http://h'),
                 F.pmod(F.col("id"), F.lit(997)),
-                F.lit('.example.com/next">n</a></body></html>'),
+                F.lit(".example.com/next/"),
+                F.col("id"),
+                F.lit('">n</a></body></html>'),
             ),
             "UTF-8",
         ).alias("html")
@@ -248,6 +251,25 @@ def run_bench(spark, sf_dir: str) -> dict:
     timings["extract_text_400k_jvm"] = best_of(
         lambda: _materialize(html_pages.select(extract_text_jvm(F.col("html")).alias("t")))
     )
+
+    # the TRUE crawl loop at volume: href extraction (JVM regex, r03) →
+    # canonicalize → dedup → URL-seen-free claim over the same 400k-page
+    # html corpus — frontier expansion from raw pages, Python-free
+    # (plan-asserted in tests/test_plans.py)
+    html_with_ts = html_pages.withColumn(
+        "warc_ts", F.timestamp_seconds(F.lit(1_600_000_000) + F.col("id") % 86_400)
+    )
+    n_links_scheduled = expand_frontier(
+        html_with_ts, None, seed=3, default_budget=1 << 30, follow_links=True
+    ).count()
+    follow_links_s = best_of(
+        lambda: _materialize(
+            expand_frontier(
+                html_with_ts, None, seed=3, default_budget=1 << 30, follow_links=True
+            )
+        )
+    )
+    timings["flagship_follow_links_400k"] = follow_links_s
 
     # one full crawl round THROUGH the checkpoint store at volume (VERDICT
     # r2 item #5): 2M pages in, bloom probe against the prior round's
@@ -336,6 +358,8 @@ def run_bench(spark, sf_dir: str) -> dict:
         "extract_text_jvm_mb_per_sec_per_core": round(
             html_mb / timings["extract_text_400k_jvm"] / n_cores, 2
         ),
+        "follow_links_urls_scheduled": n_links_scheduled,
+        "follow_links_pages_per_sec": round(n_html / follow_links_s, 1),
         "crawl_round_pages_per_sec": round(2_000_000 / crawl_round_s, 1),
         "crawl_round_urls_claimed": n_round2,
         "crawl_round_bytes_rewritten": crawl_bytes,

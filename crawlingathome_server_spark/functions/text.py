@@ -109,6 +109,25 @@ def extract_links(html: pd.Series) -> pd.Series:
     return html.map(_links_one)
 
 
+def extract_links_jvm(html: Column) -> Column:
+    """Codegen twin of :func:`extract_links` — the same href regex
+    evaluated by the JVM over the decoded page, so frontier expansion
+    with ``follow_links=True`` stays Python-free end to end (the
+    expand_frontier default). Identical to the pandas path on valid
+    UTF-8 (the href charset ``[^"'#\\s]`` excludes every byte a UTF-8
+    decode could alter); parity is asserted on the golden fixtures and
+    a randomized corpus in tests/test_functions.py."""
+    hrefs = F.regexp_extract_all(
+        F.decode(html, "UTF-8"),
+        F.lit(r"""(?is)<a\s[^>]*?href\s*=\s*["']([^"'#\s]+)["']"""),
+        F.lit(1),
+    )
+    return F.filter(
+        hrefs,
+        lambda u: u.startswith("http://") | u.startswith("https://"),
+    )
+
+
 # --- language ID: n-gram/stopword heuristic -------------------------------
 
 # Marker words chosen to be disjoint across languages; the score is the

@@ -249,15 +249,16 @@ class CheckpointStore:
         latest = self.latest_snapshot_id()
         if latest is None:
             raise FileNotFoundError("nothing to compact")
-        tables = {
-            name: self.read(spark, name, latest)
-            for name in self.read_manifest(latest)["tables"]
-        }
+        m = self.read_manifest(latest)
+        tables = {name: self.read(spark, name, latest) for name in m["tables"]}
+        # Compaction reorganizes data, it is not a state change: the
+        # parent's counters (n_seen, crawl params, …) carry forward so
+        # engines reading "latest counters" resume seamlessly.
         return self.commit(
             tables,
             seed=seed,
             round_epoch=round_epoch,
-            counters={"compaction": True},
+            counters={**m.get("counters", {}), "compaction": True},
             n_partitions=n_partitions,
         )
 

@@ -103,6 +103,72 @@ def test_extract_text_jvm_twin_entity_subset(spark):
         assert r["py"] == r["jvm"], (r["py"], r["jvm"])
 
 
+def test_extract_text_jvm_twin_randomized_corpus(spark):
+    """300 seeded pseudo-random documents inside the twin's contract
+    (valid UTF-8, boilerplate-entity subset, plain whitespace, nested/
+    unclosed tags, script+style blocks, non-ASCII text): byte parity in
+    one Spark batch — broad-coverage complement to the golden fixtures."""
+    import random
+
+    rng = random.Random(20240816)
+    ENTS = ["&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&apos;", "&nbsp;"]
+    WORDS = ["data", "über", "crawl", "日本語", "page", "día", "x<y", "a&b"]
+
+    def doc(i: int) -> bytes:
+        parts = [f"<html><head><title>doc {i}</title>"]
+        if rng.random() < 0.5:
+            parts.append(f"<script type='x'>if (a<{i} && b>0) {{}}</script>")
+        if rng.random() < 0.3:
+            parts.append("<style>p { color: red; }</style>")
+        parts.append("</head><body>")
+        for _ in range(rng.randint(1, 8)):
+            w = [rng.choice(WORDS) for _ in range(rng.randint(0, 6))]
+            if rng.random() < 0.6:
+                w.insert(rng.randint(0, len(w)), rng.choice(ENTS))
+            tag = rng.choice(["p", "div", "span", "li"])
+            close = rng.random() < 0.8  # unclosed tags too
+            ws = rng.choice([" ", "  ", "\n", "\t", "\r\n"])
+            parts.append(
+                f"<{tag} id='a{i}'>{ws}{' '.join(w)}{ws}" + (f"</{tag}>" if close else "")
+            )
+        parts.append("</body></html>")
+        return "".join(parts).encode("utf-8")
+
+    df = spark.createDataFrame([(doc(i),) for i in range(300)], "html binary")
+    rows = df.select(
+        tx.extract_text(F.col("html")).alias("py"),
+        tx.extract_text_jvm(F.col("html")).alias("jvm"),
+    ).collect()
+    assert len(rows) == 300
+    for r in rows:
+        assert r["py"] == r["jvm"], (r["py"], r["jvm"])
+
+
+def test_extract_links_jvm_twin_parity(spark):
+    """The codegen href extractor returns exactly the pandas path's links
+    (same regex, same absolute-url filter, same order) on the golden
+    fixtures and on quote/case/whitespace edge cases."""
+    pages = datagen.pages(spark, seed=7, n=400)
+    edge = spark.createDataFrame(
+        [
+            (b'<a href="http://a.com/x">1</a><A HREF=\'https://b.com/y\'>2</A>',),
+            (b"<a class='z' href = \"http://c.com/p?q=1&r=2\">t</a>",),
+            (b'<a href="/relative/skip">r</a><a href="ftp://no.com">f</a>',),
+            (b'<a href="http://frag.com/p#frag">cut at #? no: charset stops</a>',),
+            (b"<a href='http://u.com/\xc3\xbcber'>unicode</a>",),
+            (b"no links here",),
+        ],
+        "html binary",
+    )
+    for df in (pages.select("html"), edge):
+        rows = df.select(
+            tx.extract_links(F.col("html")).alias("py"),
+            tx.extract_links_jvm(F.col("html")).alias("jvm"),
+        ).collect()
+        for r in rows:
+            assert list(r["py"]) == list(r["jvm"]), (r["py"], r["jvm"])
+
+
 def test_extract_text_jvm_documented_divergence(spark):
     """Outside the contract the twin diverges EXACTLY as documented:
     exotic named entities stay literal on the JVM path (html.unescape

@@ -97,8 +97,13 @@ def test_expand_frontier_is_python_free(spark):
     pages = datagen.pages(spark, seed=3, n=100)
     rb = datagen.robots(spark)
     p = plan_of(expand_frontier(pages, rb, seed=1))
+    # follow_links=True adds href extraction — since r03 also JVM-side
+    # (functions/text.extract_links_jvm), so the TRUE crawl loop
+    # (links → canonicalize → dedup → claim) is Python-free end to end
+    p_links = plan_of(expand_frontier(pages, rb, seed=1, follow_links=True))
     for marker in ("ArrowEvalPython", "BatchEvalPython", "PythonUDF", "FlatMapGroupsInPandas"):
         assert marker not in p, marker
+        assert marker not in p_links, marker
 
 
 def test_knn_cross_join_is_broadcast_not_cartesian(spark):

@@ -640,6 +640,43 @@ def test_crawl_engine_filter_rebuild_on_capacity(spark, tmp_path):
     assert p1 is not None
 
 
+def test_crawl_engine_auto_rebucket(spark, tmp_path):
+    """A seen-set that outgrows rows_per_bucket × n_partitions triggers a
+    re-bucketing compaction after the round; the crawl continues exactly
+    (delta commits hash against the new count, resume adopts it)."""
+    from crawlingathome_server_spark.plans.rounds import CrawlEngine
+
+    store = CheckpointStore(str(tmp_path / "arb"), n_partitions=2)
+    eng = CrawlEngine(
+        spark, store, seed=9, default_budget=1 << 20, rows_per_bucket=60
+    )
+    eng.bootstrap()
+    c1 = eng.run_round(datagen.pages(spark, seed=60, n=150), round_epoch=1)
+    n1 = c1.count()
+    assert n1 > 120  # sanity: outgrew 60 × 2 buckets
+    m = store.read_manifest(store.latest_snapshot_id())
+    assert m["counters"].get("compaction") is True
+    assert m["n_partitions"] * 60 >= n1
+    assert m["n_partitions"] > 2 and store.n_partitions == m["n_partitions"]
+
+    # crawl continues through a RESUMED engine on the re-bucketed store:
+    # old urls stay excluded, new ones claim, read-back exact
+    eng2 = CrawlEngine(
+        spark,
+        CheckpointStore(str(tmp_path / "arb"), n_partitions=2),
+        seed=9,
+        default_budget=1 << 20,
+        rows_per_bucket=60,
+    )
+    assert eng2.store.n_partitions == m["n_partitions"]
+    again = eng2.run_round(datagen.pages(spark, seed=60, n=150), round_epoch=2)
+    assert again.count() == 0  # everything already seen
+    fresh = eng2.run_round(datagen.pages(spark, seed=61, n=40), round_epoch=3)
+    assert fresh.count() > 0
+    seen = eng2.store.read(spark, "seen_urls")
+    assert seen.count() == seen.select("canon_url").distinct().count()
+
+
 @pytest.mark.parametrize("fuzz_seed", [20260816, 7, 424242])
 def test_engine_matches_simulator_under_random_ops(spark, fuzz_seed):
     """Randomized state-machine equivalence: 4 rounds of claims followed
