@@ -904,6 +904,9 @@ def sim_knn(spark, sf_dir):
         nprobe=8,  # == n_lists → exhaustive → exact
         seed=13,
         round_sim=6,
+        # exhaustive search is exact under ANY centroids, so don't pay
+        # for KMeans convergence in the agreement stage
+        max_iter=1,
     ).select("probe_id", "cand_id", F.lit(True).alias("__ivf_hit"))
     return brute.join(F.broadcast(ivf), ["probe_id", "cand_id"], "left").select(
         "probe_id",

@@ -211,6 +211,23 @@ def run_bench(spark, sf_dir: str) -> dict:
     urlseen_s = best_of(_urlseen_job)
     timings["urlseen_build_probe_1m"] = urlseen_s
 
+    # the deletion-capable cuckoo variant on the same 1M build / 1M probe
+    # workload (same cogroup architecture; ~16 bits/key vs the bloom's
+    # ~10, FPR ~0.01% vs 1%, and it can forget — url expiry/re-crawl)
+    cparams = urlseen.auto_cuckoo_params(1_000_000)
+    n_unseen_cuckoo = 0
+
+    def _cuckoo_job():
+        nonlocal n_unseen_cuckoo
+        flt = urlseen.build_cuckoo_filter(urlseen.hash_urls(urls), **cparams)
+        n_unseen_cuckoo = (
+            urlseen.probe_cuckoo_filter(urlseen.hash_urls(cands), flt, **cparams)
+            .filter(~F.col("maybe_seen"))
+            .count()
+        )
+
+    timings["cuckooseen_build_probe_1m"] = best_of(_cuckoo_job)
+
     # F10 extract_text at volume (VERDICT r2 item #4): the per-page work
     # that dominates a 100 TB crawl. Expression-built html corpus (~1 KB/
     # page, incl. a script block + entities), both the byte-stable pandas
@@ -345,6 +362,10 @@ def run_bench(spark, sf_dir: str) -> dict:
         "claim_budgeted_urls_scheduled": n_claims_budgeted,
         "urlseen_urls_per_sec": round(2_000_000 / urlseen_s, 1),
         "urlseen_unseen_found": n_unseen,
+        "cuckooseen_urls_per_sec": round(
+            2_000_000 / timings["cuckooseen_build_probe_1m"], 1
+        ),
+        "cuckooseen_unseen_found": n_unseen_cuckoo,
         "extract_text_html_mb": round(html_mb, 1),
         "extract_text_pandas_mb_per_sec": round(
             html_mb / timings["extract_text_400k_pandas"], 1

@@ -272,6 +272,7 @@ def ivf_build(
     seed: int = 13,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_iter: int = 10,
 ):
     """Train IVF coarse centroids (MLlib KMeans) and assign every vector
     to its inverted list. Returns (assigned_df(id, list_id), model).
@@ -289,7 +290,7 @@ def ivf_build(
         F.col(id_col),
         array_to_vector(as_double(F.col(vec_col))).alias("features"),
     )
-    model = KMeans(k=n_lists, seed=seed, maxIter=10).fit(feats)
+    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(feats)
     assigned = (
         model.transform(feats)
         .select(F.col(id_col), F.col("prediction").alias("list_id"))
@@ -308,6 +309,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_sim: int | None = None,
+    max_iter: int = 10,
 ) -> DataFrame:
     """IVF ANN top-k: each probe searches only its ``nprobe`` nearest
     inverted lists (centroid distances computed against the broadcast
@@ -323,7 +325,12 @@ def ivf_topk(
 
     embeddings = spread(embeddings)
     assigned, model = ivf_build(
-        embeddings, n_lists=n_lists, seed=seed, id_col=id_col, vec_col=vec_col
+        embeddings,
+        n_lists=n_lists,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_iter=max_iter,
     )
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
     centers_df = embeddings.sparkSession.createDataFrame(

@@ -267,3 +267,346 @@ def hash_urls(
 def unseen_exact(candidates: DataFrame, seen: DataFrame, key: str = "canon_url") -> DataFrame:
     """Exact unseen set via left_anti — the test oracle for the filter."""
     return candidates.join(seen.select(key).dropDuplicates([key]), on=key, how="left_anti")
+
+
+# --- partitioned CUCKOO filter: the deletion-capable URL-seen variant ------
+#
+# The north rule names "cuckoo-filter/Bloom URL-seen". Bloom bitmaps
+# OR-merge (ideal for monotone crawl rounds) but cannot forget; a cuckoo
+# filter (Fan et al., "Cuckoo Filter: Practically Better Than Bloom",
+# CoNEXT 2014) supports DELETE — the primitive behind URL expiry /
+# re-crawl scheduling ("this url was crawled >90 days ago, let it claim
+# again"). Same partitioned posture as the bloom: one top-level bucket
+# per pmod(url_hash, n_buckets); per bucket a cuckoo table of
+# 4-slot rows holding 16-bit fingerprints (0 = empty), serialized as one
+# binary blob — so the whole filter is n_buckets rows, builds/probes via
+# the same one-Python-crossing-per-bucket cogroup, and never lives on
+# the driver. FPR ≈ 2·b/2^16 ≈ 0.012% at b=4 — far below the bloom's 1%
+# — at ~20 effective bits/key (16/load).
+#
+# All hashing derives from the SAME 64-bit url hash column the bloom
+# uses: fingerprint = high 16 bits (0 remapped), primary index i1 = low
+# bits, alternate i2 = i1 XOR h(fp) — the standard partial-key scheme,
+# involutive because n_slots is a power of two.
+
+_CUCKOO_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("table", T.BinaryType(), False),
+        T.StructField("n_items", T.LongType(), False),
+    ]
+)
+
+_CUCKOO_SLOTS_PER_ROW = 4
+_FP_MULT = np.uint64(0x5BD1E995)  # odd multiplier for the fp→index hash
+_MAX_KICKS = 500
+
+
+def auto_cuckoo_params(n_items: int, *, load: float = 0.8) -> dict[str, int]:
+    """{n_buckets, n_rows} sized so each bucket's table holds its expected
+    share (plus Poisson 3σ slack, as for the bloom) at ≤ ``load``
+    occupancy — 0.8 is well under the b=4 cuckoo threshold (~0.95), so
+    eviction chains stay short and the vectorized build's sequential
+    tail stays tiny. n_rows is a power of two (the i2 = i1 ^ h(fp) trick
+    requires mask indexing)."""
+    n_buckets = max(64, -(-(n_items * 2) // MAX_BUCKET_BITS))  # ~16 bits/key
+    per = n_items / n_buckets
+    per_eff = per + 3 * math.sqrt(per) + 8
+    n_rows = 1
+    while n_rows * _CUCKOO_SLOTS_PER_ROW * load < per_eff:
+        n_rows <<= 1
+    return {"n_buckets": n_buckets, "n_rows": n_rows}
+
+
+def _cuckoo_fp_i1_i2(h: np.ndarray, n_rows: int):
+    """(fingerprint, primary row, alternate row) from the u64 url hash.
+
+    The hash is splitmix64-remixed first: the TOP-level bucket is
+    ``pmod(h, n_buckets)``, so h's low bits are constant within a bucket
+    — extracting i1 from them directly would collapse every bucket onto
+    n_rows/n_buckets table rows (found the hard way: instant
+    over-capacity at 0.6 load). The remix decorrelates."""
+    z = h.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    mask = np.uint64(n_rows - 1)
+    fp = ((z >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+    fp = np.where(fp == 0, np.uint16(1), fp)  # 0 is the empty sentinel
+    i1 = (z & mask).astype(np.int64)
+    i2 = (i1 ^ ((fp.astype(np.uint64) * _FP_MULT) & mask).astype(np.int64)) & int(mask)
+    return fp, i1, i2
+
+
+def _cuckoo_insert(table: np.ndarray, fp: np.ndarray, i1: np.ndarray, i2: np.ndarray) -> None:
+    """Insert into ``table`` (n_rows × 4, uint16, 0=empty), mutating it.
+
+    Vectorized fast path: items are ranked within their i1 row
+    (argsort + cumcount) and all rank<free-slots placements happen as
+    one scatter; the same for i2 on the remainder. Only the (rare at
+    load ≤0.8) leftovers walk the classic sequential eviction loop.
+    Raises if an eviction chain exceeds _MAX_KICKS — the filter is
+    over capacity and must be resized (silent degradation would blow
+    the FPR contract, mirroring bloom auto-sizing)."""
+    n_rows = table.shape[0]
+
+    def _scatter(idx: np.ndarray, fps: np.ndarray) -> np.ndarray:
+        """Place each (idx,fp) into a free slot of its row where space
+        allows (vectorized); return the boolean mask of UNPLACED items."""
+        if len(idx) == 0:
+            return np.zeros(0, dtype=bool)
+        free = (table[idx] == 0).sum(axis=1)  # free slots per item's row
+        order = np.argsort(idx, kind="stable")
+        sidx = idx[order]
+        # rank of each item within its row group (cumcount)
+        new_grp = np.concatenate(([True], sidx[1:] != sidx[:-1]))
+        grp_start = np.maximum.accumulate(np.where(new_grp, np.arange(len(sidx)), 0))
+        rank = np.arange(len(sidx)) - grp_start
+        fits = rank < free[order]
+        rows, ranks = sidx[fits], rank[fits]
+        # slot number = (existing occupancy) + rank within this batch
+        occ = _CUCKOO_SLOTS_PER_ROW - free[order][fits]
+        table[rows, occ + ranks] = fps[order][fits]
+        unplaced = np.zeros(len(idx), dtype=bool)
+        unplaced[order[~fits]] = True
+        return unplaced
+
+    # invariant for the occupancy math: rows are packed left (non-empty
+    # slots precede empty ones) — true for fresh tables and preserved by
+    # _scatter; _cuckoo_delete repacks on removal.
+    rem = _scatter(i1, fp)
+    if rem.any():
+        rem_idx = np.flatnonzero(rem)
+        rem2 = _scatter(i2[rem_idx], fp[rem_idx])
+        leftovers = rem_idx[rem2]
+    else:
+        leftovers = np.array([], dtype=np.int64)
+
+    mask = np.uint64(n_rows - 1)
+    for j in leftovers:  # sequential eviction chains (rare)
+        cur_fp, row = np.uint16(fp[j]), int(i1[j])
+        # victim choice must be (pseudo)random or chains cycle among a
+        # few rows forever; an LCG seeded from the item keeps the build
+        # deterministic at any parallelism while breaking cycles
+        state = (int(fp[j]) << 32) ^ int(i1[j]) ^ 0x9E3779B97F4A7C15
+        for _ in range(_MAX_KICKS):
+            slots = table[row]
+            empty = np.flatnonzero(slots == 0)
+            if len(empty):
+                table[row, empty[0]] = cur_fp
+                break
+            state = (state * 6364136223846793005 + 1442695040888963407) & (
+                (1 << 64) - 1
+            )
+            victim_slot = state >> 62  # top 2 bits → 0..3
+            cur_fp, table[row, victim_slot] = slots[victim_slot].copy(), cur_fp
+            row = int(
+                (np.uint64(row) ^ ((np.uint64(cur_fp) * _FP_MULT) & mask)) & mask
+            )
+        else:
+            raise ValueError(
+                f"cuckoo filter over capacity (eviction chain > {_MAX_KICKS}); "
+                "resize with auto_cuckoo_params at the new item count"
+            )
+
+
+def build_cuckoo_filter(
+    urls_hashed: DataFrame,
+    *,
+    n_buckets: int = 64,
+    n_rows: int = 1 << 12,
+    hash_col: str = "url_hash",
+) -> DataFrame:
+    """Build the partitioned cuckoo filter: one shuffle by bucket, one
+    grouped-map per bucket (numpy inside). Output (bucket, table, n_items)."""
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        table = np.zeros((n_rows, _CUCKOO_SLOTS_PER_ROW), dtype=np.uint16)
+        # insertion order reaches the table layout via eviction chains;
+        # sorting by hash makes the built bytes identical at any shuffle
+        # arrival order / parallelism
+        pdf = pdf.sort_values(hash_col)
+        h = pdf[hash_col].to_numpy()
+        fp, i1, i2 = _cuckoo_fp_i1_i2(h, n_rows)
+        _cuckoo_insert(table, fp, i1, i2)
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "table": [table.tobytes()],
+                "n_items": [len(pdf)],
+            }
+        )
+
+    with_bucket = urls_hashed.withColumn(
+        "bucket", F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int")
+    )
+    return with_bucket.groupBy("bucket").applyInPandas(_build, _CUCKOO_SCHEMA)
+
+
+def _cuckoo_contains(table: np.ndarray, h: np.ndarray, n_rows: int) -> np.ndarray:
+    fp, i1, i2 = _cuckoo_fp_i1_i2(h, n_rows)
+    fpc = fp[:, None]
+    return ((table[i1] == fpc) | (table[i2] == fpc)).any(axis=1)
+
+
+def probe_cuckoo_filter(
+    candidates: DataFrame,
+    cuckoo: DataFrame,
+    *,
+    n_buckets: int = 64,
+    n_rows: int = 1 << 12,
+    hash_col: str = "url_hash",
+) -> DataFrame:
+    """Mark candidates ``maybe_seen`` (no false negatives) — same cogroup
+    shape as the bloom probe: each bucket's table crosses into Python
+    once per group, the membership test is one numpy gather+compare."""
+    out_schema = T.StructType(
+        list(candidates.schema.fields)
+        + [T.StructField("maybe_seen", T.BooleanType(), False)]
+    )
+    cand_cols = candidates.columns
+
+    def _probe(cand_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cand_pdf) == 0:
+            return pd.DataFrame(columns=[*cand_cols, "maybe_seen"])
+        if len(filt_pdf) == 0:
+            maybe = np.zeros(len(cand_pdf), dtype=bool)
+        else:
+            table = np.frombuffer(filt_pdf["table"].iloc[0], dtype=np.uint16).reshape(
+                n_rows, _CUCKOO_SLOTS_PER_ROW
+            )
+            maybe = _cuckoo_contains(table, cand_pdf[hash_col].to_numpy(), n_rows)
+        return cand_pdf[cand_cols].assign(maybe_seen=maybe)
+
+    with_bucket = candidates.withColumn(
+        "bucket", F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int")
+    )
+    return (
+        with_bucket.groupBy("bucket")
+        .cogroup(cuckoo.groupBy("bucket"))
+        .applyInPandas(lambda lk, rk: _probe(lk, rk), out_schema)
+    )
+
+
+def _cuckoo_update(
+    cuckoo: DataFrame,
+    updates_hashed: DataFrame,
+    *,
+    n_buckets: int,
+    n_rows: int,
+    hash_col: str,
+    delete: bool,
+) -> DataFrame:
+    """Shared cogroup for insert_into_cuckoo / delete_from_cuckoo."""
+
+    def _apply(upd_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(filt_pdf):
+            table = (
+                np.frombuffer(filt_pdf["table"].iloc[0], dtype=np.uint16)
+                .reshape(n_rows, _CUCKOO_SLOTS_PER_ROW)
+                .copy()
+            )
+            n_items = int(filt_pdf["n_items"].iloc[0])
+            bucket = int(filt_pdf["bucket"].iloc[0])
+        else:
+            if delete or len(upd_pdf) == 0:
+                return pd.DataFrame(columns=["bucket", "table", "n_items"])
+            table = np.zeros((n_rows, _CUCKOO_SLOTS_PER_ROW), dtype=np.uint16)
+            n_items, bucket = 0, int(upd_pdf["bucket"].iloc[0])
+        if len(upd_pdf):
+            upd_pdf = upd_pdf.sort_values(hash_col)  # deterministic layout
+            h = upd_pdf[hash_col].to_numpy()
+            fp, i1, i2 = _cuckoo_fp_i1_i2(h, n_rows)
+            if delete:
+                n_items -= _cuckoo_delete(table, fp, i1, i2)
+            else:
+                _cuckoo_insert(table, fp, i1, i2)
+                n_items += len(upd_pdf)
+        return pd.DataFrame(
+            {"bucket": [bucket], "table": [table.tobytes()], "n_items": [n_items]}
+        )
+
+    with_bucket = updates_hashed.withColumn(
+        "bucket", F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int")
+    )
+    return (
+        with_bucket.groupBy("bucket")
+        .cogroup(cuckoo.groupBy("bucket"))
+        .applyInPandas(lambda lk, rk: _apply(lk, rk), _CUCKOO_SCHEMA)
+    )
+
+
+def insert_into_cuckoo(
+    cuckoo: DataFrame,
+    new_hashed: DataFrame,
+    *,
+    n_buckets: int = 64,
+    n_rows: int = 1 << 12,
+    hash_col: str = "url_hash",
+) -> DataFrame:
+    """Incremental crawl-round growth (the cuckoo analogue of the bloom's
+    OR-merge): untouched buckets pass through; touched ones insert their
+    round's new urls into the existing table. NOTE: unlike the bloom
+    path this passes the FILTER through the cogroup too, so the caller
+    should delta-commit only changed buckets (CheckpointStore does)."""
+    untouched = cuckoo.join(
+        new_hashed.select(
+            F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int").alias("bucket")
+        ).distinct(),
+        on="bucket",
+        how="left_anti",
+    )
+    touched = cuckoo.join(
+        new_hashed.select(
+            F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int").alias("bucket")
+        ).distinct(),
+        on="bucket",
+        how="left_semi",
+    )
+    return _cuckoo_update(
+        touched, new_hashed, n_buckets=n_buckets, n_rows=n_rows,
+        hash_col=hash_col, delete=False,
+    ).unionByName(untouched)
+
+
+def _cuckoo_delete(table: np.ndarray, fp: np.ndarray, i1: np.ndarray, i2: np.ndarray) -> int:
+    """Remove ONE occurrence of each (fp, i1|i2) — sequential per item
+    (deletes are the rare maintenance path: url expiry batches), numpy
+    row ops inside. Repacks rows left so the insert occupancy math stays
+    valid. Returns the number of fingerprints actually removed. Only
+    delete urls known to have been inserted (standard cuckoo contract —
+    deleting a never-inserted url can evict a colliding victim's fp)."""
+    removed = 0
+    for j in range(len(fp)):
+        f = fp[j]
+        for row in (int(i1[j]), int(i2[j])):
+            slots = table[row]
+            hit = np.flatnonzero(slots == f)
+            if len(hit):
+                keep = np.concatenate((np.delete(slots, hit[0]), [0])).astype(np.uint16)
+                table[row] = keep
+                removed += 1
+                break
+    return removed
+
+
+def delete_from_cuckoo(
+    cuckoo: DataFrame,
+    expired_hashed: DataFrame,
+    *,
+    n_buckets: int = 64,
+    n_rows: int = 1 << 12,
+    hash_col: str = "url_hash",
+) -> DataFrame:
+    """URL expiry: remove expired urls so they become claimable again —
+    the re-crawl primitive the bloom cannot express. Buckets with no
+    expirations pass through untouched."""
+    expired_buckets = expired_hashed.select(
+        F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int").alias("bucket")
+    ).distinct()
+    untouched = cuckoo.join(expired_buckets, on="bucket", how="left_anti")
+    touched = cuckoo.join(expired_buckets, on="bucket", how="left_semi")
+    return _cuckoo_update(
+        touched, expired_hashed, n_buckets=n_buckets, n_rows=n_rows,
+        hash_col=hash_col, delete=True,
+    ).unionByName(untouched)

@@ -133,3 +133,107 @@ def test_filter_persists_across_rounds(spark, tmp_path):
     seen_flagged = probed.filter(F.col("maybe_seen")).count()
     assert seen_flagged >= 2500  # all true-seen + few false positives
     assert seen_flagged < 2500 + 0.03 * 2500
+
+
+# --- partitioned cuckoo filter (deletion-capable URL-seen variant) ---------
+
+
+def _hashed_urls(spark, prefix: str, lo: int, hi: int):
+    return urlseen.hash_urls(
+        spark.range(lo, hi).select(
+            F.concat(F.lit(prefix), F.col("id")).alias("canon_url")
+        )
+    )
+
+
+def test_cuckoo_no_false_negatives_and_fpr(spark):
+    seen = _hashed_urls(spark, "http://c.example.com/p/", 0, 20_000)
+    params = urlseen.auto_cuckoo_params(20_000)
+    flt = urlseen.build_cuckoo_filter(seen, **params)
+    probed = urlseen.probe_cuckoo_filter(seen, flt, **params)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+    novel = _hashed_urls(spark, "http://novel.example.net/x/", 0, 20_000)
+    fp = (
+        urlseen.probe_cuckoo_filter(novel, flt, **params)
+        .filter(F.col("maybe_seen"))
+        .count()
+    )
+    # 16-bit fingerprints, 4-slot rows: FPR ≈ 2·4/2^16 ≈ 0.012%
+    assert fp / 20_000 < 0.005, f"cuckoo FPR {fp/20_000}"
+
+
+def test_cuckoo_delete_enables_recrawl(spark):
+    """The re-crawl primitive: deleting expired urls makes exactly them
+    claimable again; everything still fresh stays excluded."""
+    params = urlseen.auto_cuckoo_params(10_000)
+    all_seen = _hashed_urls(spark, "http://c.example.com/p/", 0, 10_000)
+    flt = urlseen.build_cuckoo_filter(all_seen, **params)
+    expired = _hashed_urls(spark, "http://c.example.com/p/", 0, 3_000)
+    flt2 = urlseen.delete_from_cuckoo(flt, expired, **params)
+    probed = urlseen.probe_cuckoo_filter(all_seen, flt2, **params).collect()
+    for r in probed:
+        i = int(r["canon_url"].rsplit("/", 1)[1])
+        if i < 3_000:
+            assert not r["maybe_seen"], r  # expired → claimable again
+        else:
+            assert r["maybe_seen"], r  # fresh → still excluded
+    # n_items bookkeeping survives the delete
+    total = sum(r["n_items"] for r in flt2.collect())
+    assert total == 7_000
+
+
+def test_cuckoo_incremental_insert_equals_bulk(spark):
+    """insert_into_cuckoo over two rounds ≡ bulk build, membership-wise;
+    untouched buckets pass through by reference (no rewrite)."""
+    params = urlseen.auto_cuckoo_params(8_000)
+    a = _hashed_urls(spark, "http://c.example.com/p/", 0, 6_000)
+    b = _hashed_urls(spark, "http://c.example.com/p/", 6_000, 8_000)
+    incr = urlseen.insert_into_cuckoo(
+        urlseen.build_cuckoo_filter(a, **params), b, **params
+    )
+    both = a.unionByName(b)
+    probed = urlseen.probe_cuckoo_filter(both, incr, **params)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+    novel = _hashed_urls(spark, "http://novel.example.net/x/", 0, 10_000)
+    fp = (
+        urlseen.probe_cuckoo_filter(novel, incr, **params)
+        .filter(F.col("maybe_seen"))
+        .count()
+    )
+    assert fp / 10_000 < 0.005
+
+
+def test_cuckoo_deterministic_across_partitioning(spark):
+    params = urlseen.auto_cuckoo_params(5_000)
+    urls = _hashed_urls(spark, "http://c.example.com/p/", 0, 5_000)
+    t1 = {
+        r["bucket"]: r["table"]
+        for r in urlseen.build_cuckoo_filter(urls.repartition(3), **params).collect()
+    }
+    t64 = {
+        r["bucket"]: r["table"]
+        for r in urlseen.build_cuckoo_filter(urls.repartition(64), **params).collect()
+    }
+    assert set(t1) == set(t64)
+    # byte-identical: the build sorts by hash inside each bucket, so the
+    # eviction chains (and hence the table bytes) are shuffle-order-free
+    assert t1 == t64
+    probe = _hashed_urls(spark, "http://c.example.com/p/", 0, 6_000)
+    f1 = urlseen.build_cuckoo_filter(urls.repartition(3), **params)
+    f2 = urlseen.build_cuckoo_filter(urls.repartition(64), **params)
+    r1 = {r["canon_url"]: r["maybe_seen"] for r in urlseen.probe_cuckoo_filter(probe, f1, **params).collect()}
+    r2 = {r["canon_url"]: r["maybe_seen"] for r in urlseen.probe_cuckoo_filter(probe, f2, **params).collect()}
+    assert r1 == r2
+
+
+def test_cuckoo_over_capacity_raises(spark):
+    """Overfilling must raise (resize signal), never silently degrade."""
+    import numpy as np
+    import pytest
+
+    table = np.zeros((4, 4), dtype=np.uint16)  # 16 slots
+    rng = np.random.RandomState(7)
+    h = rng.randint(0, 2**63, size=64).astype(np.uint64)
+    fp, i1, i2 = urlseen._cuckoo_fp_i1_i2(h, 4)
+    with pytest.raises(ValueError, match="over capacity"):
+        urlseen._cuckoo_insert(table, fp, i1, i2)
