@@ -114,14 +114,24 @@ def expand_frontier(
         # a PREBUILT filter (e.g. loaded from the checkpoint store via
         # urlseen.load_seen_filter) — round k+1 probes what round k
         # committed instead of rebuilding from the full seen set.
+        # params["kind"] selects the structure: bloom (default) or the
+        # deletion-capable cuckoo variant.
         flt, params = seen_filter
-        deduped = urlseen.probe_seen_filter(
-            deduped,
-            flt,
-            n_buckets=params["n_buckets"],
-            bits_per_bucket=params["bits_per_bucket"],
-            k=params["k"],
-        ).filter(~F.col("maybe_seen"))
+        if params.get("kind") == "cuckoo":
+            deduped = urlseen.probe_cuckoo_filter(
+                deduped,
+                flt,
+                n_buckets=params["n_buckets"],
+                n_rows=params["n_rows"],
+            ).filter(~F.col("maybe_seen"))
+        else:
+            deduped = urlseen.probe_seen_filter(
+                deduped,
+                flt,
+                n_buckets=params["n_buckets"],
+                bits_per_bucket=params["bits_per_bucket"],
+                k=params["k"],
+            ).filter(~F.col("maybe_seen"))
     elif seen_urls is not None:
         if use_bloom:
             # auto-sized from the seen-set count (verdict item #5: a
@@ -192,13 +202,20 @@ class CrawlEngine:
     pending/closed flags in Postgres, models.py:31-32).
 
     Seen-set maintenance is two-tier, the 10^10-URL posture:
-    - ``seen_urls``: the exact set, hash-bucketed parquet, DELTA-committed
-      (only the buckets touched by this round's claims are rewritten);
-    - ``urlseen_filter``: the bucketed bloom, incrementally OR-merged
-      with a filter built over just the round's new URLs (bitmaps are
-      unions) and REBUILT at double capacity from the exact set when the
-      item count outgrows its sizing (auto_params) — a mis-sized filter
-      silently blows FPR.
+    - ``seen_urls``: the exact set (canon_url, seen_epoch), hash-bucketed
+      parquet, DELTA-committed (only the buckets touched by this round's
+      claims/expirations are rewritten);
+    - ``urlseen_filter``: the probe accelerator — bucketed bloom
+      (default; OR-merged incrementally) or partitioned cuckoo
+      (``filter_kind='cuckoo'``; inserted incrementally AND deletable).
+      Either is REBUILT at double capacity from the exact set when the
+      item count outgrows its sizing — a mis-sized filter silently blows
+      FPR.
+
+    ``ttl_rounds`` enables re-crawl: urls seen ≥ ttl_rounds rounds ago
+    expire at the start of a round and become claimable again. The
+    cuckoo filter deletes them in O(expired); the bloom falls back to a
+    rebuild (it cannot forget) — the measured contrast is in bench/tests.
     """
 
     def __init__(
@@ -210,12 +227,26 @@ class CrawlEngine:
         default_budget: int = 4,
         fpr: float = 0.01,
         rows_per_bucket: int = 4_000_000,
+        filter_kind: str = "bloom",
+        ttl_rounds: int | None = None,
     ):
+        if filter_kind not in ("bloom", "cuckoo"):
+            raise ValueError(f"filter_kind must be 'bloom' or 'cuckoo': {filter_kind}")
         self.spark = spark
         self.store = store
         self.seed = seed
         self.default_budget = default_budget
         self.fpr = fpr
+        # filter_kind='cuckoo' swaps the seen-filter for the partitioned
+        # cuckoo filter (urlseen.build_cuckoo_filter): ~0.01% FPR and
+        # O(expired) incremental DELETION. ttl_rounds enables re-crawl:
+        # urls seen more than ttl_rounds scheduling rounds ago expire at
+        # the start of a round and become claimable again — cuckoo
+        # deletes them from the filter incrementally; bloom (which
+        # cannot forget) falls back to a full rebuild from the exact
+        # set whenever anything expired.
+        self.filter_kind = filter_kind
+        self.ttl_rounds = ttl_rounds
         # auto re-bucketing threshold: when the seen-set outgrows
         # rows_per_bucket × n_partitions, the post-round compaction
         # doubles the bucket count until it fits — a store sized at 8
@@ -229,7 +260,15 @@ class CrawlEngine:
         from pyspark.sql import types as T
 
         empty = self.spark.createDataFrame(
-            [], schema=T.StructType([T.StructField("canon_url", T.StringType(), False)])
+            [],
+            schema=T.StructType(
+                [
+                    T.StructField("canon_url", T.StringType(), False),
+                    # when each url was first claimed — drives ttl_rounds
+                    # expiry (re-crawl); harmless bookkeeping otherwise
+                    T.StructField("seen_epoch", T.LongType(), False),
+                ]
+            ),
         )
         return self.store.commit(
             {"seen_urls": empty},
@@ -237,6 +276,41 @@ class CrawlEngine:
             round_epoch=round_epoch,
             counters={"n_seen": 0, "crawl_capacity": 0},
         )
+
+    # -- filter helpers (bloom | cuckoo behind one shape) -------------------
+
+    def _build_filter(self, urls: DataFrame, capacity: int):
+        """(filter_df, params) sized for ``capacity`` items."""
+        hashed = urlseen.hash_urls(urls)
+        if self.filter_kind == "cuckoo":
+            params = {**urlseen.auto_cuckoo_params(capacity), "kind": "cuckoo"}
+            flt = urlseen.build_cuckoo_filter(
+                hashed, n_buckets=params["n_buckets"], n_rows=params["n_rows"]
+            )
+        else:
+            params = {**urlseen.auto_params(capacity, self.fpr), "kind": "bloom"}
+            flt = urlseen.build_seen_filter(
+                hashed,
+                n_buckets=params["n_buckets"],
+                bits_per_bucket=params["bits_per_bucket"],
+                k=params["k"],
+            )
+        return flt, params
+
+    def _grow_filter(self, flt: DataFrame, new_urls: DataFrame, params: dict):
+        """Incrementally add this round's urls to the persisted filter."""
+        hashed = urlseen.hash_urls(new_urls)
+        if params.get("kind") == "cuckoo":
+            return urlseen.insert_into_cuckoo(
+                flt, hashed, n_buckets=params["n_buckets"], n_rows=params["n_rows"]
+            )
+        delta = urlseen.build_seen_filter(
+            hashed,
+            n_buckets=params["n_buckets"],
+            bits_per_bucket=params["bits_per_bucket"],
+            k=params["k"],
+        )
+        return urlseen.merge_seen_filters(flt, delta)
 
     def run_round(
         self,
@@ -246,16 +320,42 @@ class CrawlEngine:
         robots: DataFrame | None = None,
     ) -> DataFrame:
         """One crawl round: returns the claimed (scheduled) URL set and
-        commits S_{k+1} = seen ∪ claimed + updated filter."""
+        commits S_{k+1} = (seen − expired) ∪ claimed + updated filter."""
         spark, store = self.spark, self.store
         snap = store.latest_snapshot_id()
         counters = store.read_manifest(snap)["counters"]
         n_seen, capacity = counters["n_seen"], counters["crawl_capacity"]
         params = counters.get("urlseen_params")
         seen_urls = store.read(spark, "seen_urls")
+        flt = store.read(spark, urlseen.FILTER_TABLE) if params is not None else None
+
+        # TTL expiry: urls seen ≥ ttl_rounds rounds ago become claimable
+        # again. The exact set drops them; the cuckoo filter deletes them
+        # incrementally (O(expired)); a bloom cannot forget, so any expiry
+        # forces its rebuild from the remaining exact set.
+        n_expired, expired_keys, expired_df = 0, None, None
+        if self.ttl_rounds is not None and n_seen:
+            cutoff = round_epoch - self.ttl_rounds
+            expired = seen_urls.filter(F.col("seen_epoch") <= F.lit(cutoff)).cache()
+            n_expired = expired.count()
+            if n_expired:
+                expired_df = expired
+                expired_keys = expired.select("canon_url")
+                seen_urls = seen_urls.filter(F.col("seen_epoch") > F.lit(cutoff))
+                n_seen -= n_expired
+                if params is not None and params.get("kind") == "cuckoo":
+                    flt = urlseen.delete_from_cuckoo(
+                        flt,
+                        urlseen.hash_urls(expired_keys),
+                        n_buckets=params["n_buckets"],
+                        n_rows=params["n_rows"],
+                    )
+                else:
+                    params, flt = None, None  # bloom: rebuild below
+            else:
+                expired.unpersist()
 
         if params is not None:
-            flt = store.read(spark, urlseen.FILTER_TABLE)
             claimed = expand_frontier(
                 pages,
                 robots,
@@ -264,7 +364,6 @@ class CrawlEngine:
                 seen_filter=(flt, params),
             )
         else:
-            flt = None
             claimed = expand_frontier(
                 pages,
                 robots,
@@ -274,30 +373,26 @@ class CrawlEngine:
             )
         claimed = claimed.cache()
         n_claimed = claimed.count()
-        new_seen = claimed.select("canon_url")
+        new_seen = claimed.select(
+            "canon_url", F.lit(round_epoch).cast("long").alias("seen_epoch")
+        )
         total = n_seen + n_claimed
 
         if params is None or total > capacity:
             # (re)build at 2× headroom from the EXACT set — the filter is
             # an accelerator, the parquet seen_urls table is the truth
             capacity = max(2 * total, 1024)
-            params = urlseen.auto_params(capacity, self.fpr)
-            all_seen = seen_urls.unionByName(new_seen)
-            flt = urlseen.build_seen_filter(
-                urlseen.hash_urls(all_seen),
-                n_buckets=params["n_buckets"],
-                bits_per_bucket=params["bits_per_bucket"],
-                k=params["k"],
-            )
+            all_seen = seen_urls.unionByName(new_seen).select("canon_url")
+            flt, params = self._build_filter(all_seen, capacity)
         else:
-            delta_flt = urlseen.build_seen_filter(
-                urlseen.hash_urls(new_seen),
-                n_buckets=params["n_buckets"],
-                bits_per_bucket=params["bits_per_bucket"],
-                k=params["k"],
-            )
-            flt = urlseen.merge_seen_filters(flt, delta_flt)
+            flt = self._grow_filter(flt, new_seen.select("canon_url"), params)
 
+        # delta-commit: only the seen_urls buckets touched by this round's
+        # claims (and expirations) get rewritten; the filter is small
+        # (≈ total bits) and rewrites whole
+        delta_keys = new_seen.select("canon_url")
+        if expired_keys is not None:
+            delta_keys = delta_keys.unionByName(expired_keys)
         store.commit(
             {
                 "seen_urls": seen_urls.unionByName(new_seen),
@@ -308,14 +403,14 @@ class CrawlEngine:
             counters={
                 "n_seen": total,
                 "n_claimed": n_claimed,
+                "n_expired": n_expired,
                 "crawl_capacity": capacity,
                 "urlseen_params": params,
             },
-            # delta-commit: only the seen_urls buckets touched by this
-            # round's claims get rewritten; the filter is small (≈ total
-            # bits) and rewrites whole
-            deltas={"seen_urls": new_seen},
+            deltas={"seen_urls": delta_keys},
         )
+        if expired_df is not None:
+            expired_df.unpersist()
         if total > self.rows_per_bucket * store.n_partitions:
             new_parts = store.n_partitions
             while total > self.rows_per_bucket * new_parts:

@@ -640,6 +640,93 @@ def test_crawl_engine_filter_rebuild_on_capacity(spark, tmp_path):
     assert p1 is not None
 
 
+@pytest.mark.parametrize("kind", ["bloom", "cuckoo"])
+def test_crawl_engine_filter_kinds_rounds_and_resume(spark, tmp_path, kind):
+    """Both filter kinds drive the crawl loop identically on the
+    monotone path: claimed urls never re-claim, resume from the store
+    schedules the next round exactly."""
+    from crawlingathome_server_spark.plans.rounds import CrawlEngine
+
+    store = CheckpointStore(str(tmp_path / f"fk_{kind}"), n_partitions=4)
+    eng = CrawlEngine(spark, store, seed=7, default_budget=1 << 20, filter_kind=kind)
+    eng.bootstrap()
+    r1 = sorted(
+        x["canon_url"]
+        for x in eng.run_round(_crawl_pages(spark, 1), round_epoch=1).collect()
+    )
+    # resume with a FRESH engine over the same store
+    eng2 = CrawlEngine(
+        spark,
+        CheckpointStore(str(tmp_path / f"fk_{kind}"), n_partitions=4),
+        seed=7,
+        default_budget=1 << 20,
+        filter_kind=kind,
+    )
+    r1_again = sorted(
+        x["canon_url"]
+        for x in eng2.run_round(_crawl_pages(spark, 1), round_epoch=2).collect()
+    )
+    r2 = sorted(
+        x["canon_url"]
+        for x in eng2.run_round(_crawl_pages(spark, 2), round_epoch=3).collect()
+    )
+    assert r1_again == []  # persisted filter excludes round-1 urls
+    assert not set(r1) & set(r2)
+    params = store.read_manifest(store.latest_snapshot_id())["counters"][
+        "urlseen_params"
+    ]
+    assert params["kind"] == kind
+
+
+@pytest.mark.parametrize("kind", ["bloom", "cuckoo"])
+def test_crawl_engine_ttl_recrawl(spark, tmp_path, kind):
+    """ttl_rounds expiry: urls seen ≥ ttl rounds ago become claimable
+    again (cuckoo deletes incrementally; bloom rebuilds). Fresh urls
+    stay excluded; n_expired is recorded in the manifest counters."""
+    from crawlingathome_server_spark.plans.rounds import CrawlEngine
+
+    store = CheckpointStore(str(tmp_path / f"ttl_{kind}"), n_partitions=4)
+    eng = CrawlEngine(
+        spark,
+        store,
+        seed=7,
+        default_budget=1 << 20,
+        filter_kind=kind,
+        ttl_rounds=2,
+    )
+    eng.bootstrap()
+    a = sorted(
+        x["canon_url"]
+        for x in eng.run_round(_crawl_pages(spark, 10), round_epoch=1).collect()
+    )
+    b = sorted(
+        x["canon_url"]
+        for x in eng.run_round(_crawl_pages(spark, 11), round_epoch=2).collect()
+    )
+    # round 3: cutoff = 3-2 = 1 → round-1 urls expire; re-presenting both
+    # page sets re-claims (almost exactly — filter FPs may drop a few)
+    # the round-1 urls and none of round-2's
+    pages_both = _crawl_pages(spark, 10).unionByName(_crawl_pages(spark, 11))
+    r3 = sorted(
+        x["canon_url"] for x in eng.run_round(pages_both, round_epoch=3).collect()
+    )
+    assert set(r3) <= set(a)  # never re-claims unexpired (round-2) urls
+    assert len(r3) >= 0.97 * len(a)  # re-claims expired ones (minus FPs)
+    c = store.read_manifest(store.latest_snapshot_id())["counters"]
+    assert c["n_expired"] == len(a)
+    # seen set bookkeeping: (a - expired + reclaimed) + b
+    assert c["n_seen"] == len(b) + len(r3)
+    # round 4: cutoff = 4-2 = 2 → round-2 urls (epoch 2) expire now;
+    # round-3 claims (epoch 3) are fresh. Claimable = b plus the few a
+    # urls FP-dropped at round 3 (they left the seen set unclaimed).
+    r4 = {x["canon_url"] for x in eng.run_round(pages_both, round_epoch=4).collect()}
+    assert r4 <= set(b) | (set(a) - set(r3))
+    assert len(r4) >= 0.97 * len(b)
+    assert store.read_manifest(store.latest_snapshot_id())["counters"][
+        "n_expired"
+    ] == len(b)
+
+
 def test_crawl_engine_auto_rebucket(spark, tmp_path):
     """A seen-set that outgrows rows_per_bucket × n_partitions triggers a
     re-bucketing compaction after the round; the crawl continues exactly
