@@ -228,6 +228,27 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     timings["cuckooseen_build_probe_1m"] = best_of(_cuckoo_job)
 
+    # the deletion contrast that justifies the cuckoo at all: expiring
+    # 50k of 2M seen urls is O(expired) for the cuckoo (touched buckets
+    # only); a bloom pays a full 2M rebuild (~ urlseen_build time above)
+    cparams2m = urlseen.auto_cuckoo_params(2_000_000)
+    urls_2m_seen = spark.range(2_000_000).select(
+        F.concat(F.lit("http://h"), F.pmod(F.col("id"), F.lit(5000)), F.lit(".com/p/"), F.col("id")).alias("canon_url")
+    )
+    expired_50k = urls_2m_seen.limit(50_000)
+    cuckoo_2m = urlseen.build_cuckoo_filter(
+        urlseen.hash_urls(urls_2m_seen), **cparams2m
+    ).cache()
+    cuckoo_2m.count()  # materialize the base filter outside the timing
+    timings["cuckoo_expire_50k_of_2m"] = best_of(
+        lambda: _materialize(
+            urlseen.delete_from_cuckoo(
+                cuckoo_2m, urlseen.hash_urls(expired_50k), **cparams2m
+            )
+        )
+    )
+    cuckoo_2m.unpersist()
+
     # F10 extract_text at volume (VERDICT r2 item #4): the per-page work
     # that dominates a 100 TB crawl. Expression-built html corpus (~1 KB/
     # page, incl. a script block + entities), both the byte-stable pandas
