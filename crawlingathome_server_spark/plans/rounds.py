@@ -387,12 +387,13 @@ class CrawlEngine:
         else:
             flt = self._grow_filter(flt, new_seen.select("canon_url"), params)
 
-        # delta-commit: only the seen_urls buckets touched by this round's
-        # claims (and expirations) get rewritten; the filter is small
-        # (≈ total bits) and rewrites whole
-        delta_keys = new_seen.select("canon_url")
-        if expired_keys is not None:
-            delta_keys = delta_keys.unionByName(expired_keys)
+        # Append-delta commit: the seen-set is parent − expired + claimed
+        # by construction, so the store rewrites ONLY the touched buckets
+        # by reading their parent dirs — round commit cost is
+        # O(claims + expirations), independent of total seen size. The
+        # filter is small (≈ total bits) and rewrites whole.
+        from ..sources.checkpoint import Append
+
         store.commit(
             {
                 "seen_urls": seen_urls.unionByName(new_seen),
@@ -407,7 +408,7 @@ class CrawlEngine:
                 "crawl_capacity": capacity,
                 "urlseen_params": params,
             },
-            deltas={"seen_urls": delta_keys},
+            deltas={"seen_urls": Append(new_seen, remove_keys=expired_keys)},
         )
         if expired_df is not None:
             expired_df.unpersist()

@@ -50,6 +50,26 @@ except Exception:
 UNCHANGED = "__unchanged__"
 
 
+class Append:
+    """Delta sentinel for :meth:`CheckpointStore.commit`: the table's new
+    content is the parent's content, minus ``remove_keys`` (optional,
+    first column = key), plus exactly ``df``'s rows.
+
+    The key-only delta form still SCANS the caller's full table plan to
+    rewrite the changed buckets — at 10^10 seen urls that is a full pass
+    per crawl round. With ``Append`` the commit reads ONLY the parent's
+    changed bucket dirs, anti-joins the removals, unions the new rows:
+    round cost is O(delta + touched buckets), independent of table size.
+    The ``tables`` entry for the name is consulted for schema only —
+    the caller contracts that parent ∓ removals ∪ df IS the new content
+    (true by construction for the crawl seen-set: expiry + new claims).
+    """
+
+    def __init__(self, df: DataFrame, remove_keys: DataFrame | None = None):
+        self.df = df
+        self.remove_keys = remove_keys
+
+
 class CheckpointStore:
     """Single-writer, snapshot-isolated table store with lineage."""
 
@@ -86,6 +106,21 @@ class CheckpointStore:
 
     def _bucket(self, key_col, n_partitions: int | None = None) -> F.Column:
         return F.pmod(F.xxhash64(key_col), F.lit(n_partitions or self.n_partitions))
+
+    @staticmethod
+    def _written_counts(spark: SparkSession, path: str) -> dict[str, int]:
+        """Per-__part row counts of a just-written partitioned dir (cheap:
+        zero-column scan over the new files only). Empty dir → {}."""
+        try:
+            rows = (
+                spark.read.parquet(path)
+                .groupBy("__part")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+        except Exception:  # zero rows written → no parquet files to infer
+            return {}
+        return {str(r["__part"]): r["n"] for r in rows}
 
     # -- commit ------------------------------------------------------------
 
@@ -145,10 +180,20 @@ class CheckpointStore:
                 partitions = dict(parent_parts)
             else:
                 if delta is not None and delta is not UNCHANGED and name in parent_tables:
+                    if isinstance(delta, Append):
+                        keys = delta.df.select(F.col(delta.df.columns[0]).alias(key))
+                        if delta.remove_keys is not None:
+                            keys = keys.unionByName(
+                                delta.remove_keys.select(
+                                    F.col(delta.remove_keys.columns[0]).alias(key)
+                                )
+                            )
+                    else:
+                        keys = delta.select(F.col(delta.columns[0]).alias(key))
                     changed = sorted(
                         r[0]
-                        for r in delta.select(
-                            self._bucket(F.col(delta.columns[0]), eff_parts).alias("b")
+                        for r in keys.select(
+                            self._bucket(F.col(key), eff_parts).alias("b")
                         )
                         .distinct()
                         .collect()
@@ -156,16 +201,47 @@ class CheckpointStore:
                 else:
                     changed = list(range(eff_parts))
 
-                part_df = df.withColumn("__part", self._bucket(F.col(key), eff_parts))
-                to_write = part_df.filter(F.col("__part").isin(changed))
+                if isinstance(delta, Append) and name in parent_tables:
+                    # O(delta): read ONLY the parent's changed bucket dirs,
+                    # drop removals, add the new rows — never scan the
+                    # unchanged (at-scale, enormous) remainder
+                    spark = delta.df.sparkSession
+                    old_paths = [
+                        parent_parts[str(b)]["path"]
+                        for b in changed
+                        if str(b) in parent_parts
+                        and parent_parts[str(b)]["path"]
+                        and parent_parts[str(b)]["rows"] > 0
+                    ]
+                    old_rows = (
+                        spark.read.schema(df.schema).parquet(*old_paths).select(*df.columns)
+                        if old_paths
+                        else spark.createDataFrame([], df.schema)
+                    )
+                    if delta.remove_keys is not None:
+                        rk = delta.remove_keys.select(
+                            F.col(delta.remove_keys.columns[0]).alias(key)
+                        ).dropDuplicates([key])
+                        old_rows = old_rows.join(rk, on=key, how="left_anti")
+                    content = old_rows.unionByName(delta.df.select(*df.columns))
+                    part_df = content.withColumn(
+                        "__part", self._bucket(F.col(key), eff_parts)
+                    )
+                    # every row hashes into a changed bucket by construction
+                    to_write = part_df
+                else:
+                    part_df = df.withColumn(
+                        "__part", self._bucket(F.col(key), eff_parts)
+                    )
+                    to_write = part_df.filter(F.col("__part").isin(changed))
                 path = os.path.join(snap_dir, name)
                 to_write.write.mode("overwrite").partitionBy("__part").parquet(path)
-                written_counts = {
-                    str(r["__part"]): r["n"]
-                    for r in to_write.groupBy("__part")
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .collect()
-                }
+                # per-bucket counts from the WRITTEN files (parquet
+                # metadata scan), not by re-running the plan — for a
+                # committed filter table that second run would rebuild
+                # the whole filter again (measured ~2× on the crawl
+                # round's commit path)
+                written_counts = self._written_counts(df.sparkSession, path)
                 partitions = {}
                 for b in range(eff_parts):
                     sb = str(b)

@@ -310,6 +310,58 @@ def test_delta_commit_inherits_unchanged_buckets(spark, tmp_path):
     assert sorted(map(tuple, store.read(spark, "frontier", sid2).collect())) == want
 
 
+def test_append_delta_commit(spark, tmp_path):
+    """Append-delta commit: changed buckets are rebuilt from the PARENT's
+    bucket dirs ∓ removals ∪ new rows (never a full-table scan); all
+    other buckets are inherited by reference; read-back equals the
+    logical parent − removed + appended content exactly."""
+    from crawlingathome_server_spark.sources.checkpoint import Append
+
+    store = CheckpointStore(str(tmp_path / "ap"), n_partitions=64)
+
+    def rows(lo, hi, epoch):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("u"), F.col("id")).alias("canon_url"),
+            F.lit(epoch).cast("long").alias("seen_epoch"),
+        )
+
+    base = rows(0, 500, 1)
+    store.commit({"t": base}, seed=1, round_epoch=0)
+    new = rows(500, 505, 2)
+    removed = spark.range(0, 3).select(F.concat(F.lit("u"), F.col("id")).alias("canon_url"))
+    expected = sorted(
+        map(
+            tuple,
+            base.join(removed, on="canon_url", how="left_anti")
+            .unionByName(new)
+            .collect(),
+        )
+    )
+    sid = store.commit(
+        {"t": base.join(removed, "canon_url", "left_anti").unionByName(new)},
+        seed=1,
+        round_epoch=1,
+        deltas={"t": Append(new, remove_keys=removed)},
+    )
+    assert sorted(map(tuple, store.read(spark, "t", sid).collect())) == expected
+    parts = store.read_manifest(sid)["tables"]["t"]["partitions"]
+    n_new = sum(1 for p in parts.values() if p["written_by"] == sid)
+    assert 1 <= n_new <= 8  # ≤ one bucket per touched key
+    assert sum(1 for p in parts.values() if p["written_by"] == 1) == 64 - n_new
+    # row accounting survives the partial rebuild
+    assert store.read_manifest(sid)["tables"]["t"]["total_rows"] == 502
+
+    # append-only (no removals) on top
+    sid2 = store.commit(
+        {"t": store.read(spark, "t", sid).unionByName(rows(505, 507, 3))},
+        seed=1,
+        round_epoch=2,
+        deltas={"t": Append(rows(505, 507, 3))},
+    )
+    back2 = sorted(map(tuple, store.read(spark, "t", sid2).collect()))
+    assert len(back2) == 504 and ("u505", 3) in back2 and ("u506", 3) in back2
+
+
 def test_compact_and_expire(spark, tmp_path):
     """compact() collapses delta chains; expire_snapshots() removes old
     manifests but never deletes a bucket dir a survivor still references."""
