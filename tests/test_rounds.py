@@ -671,14 +671,15 @@ def test_crawl_engine_rounds_and_resume(spark, tmp_path):
     assert m["counters"]["urlseen_params"]["k"] >= 1
 
 
-def test_crawl_engine_filter_rebuild_on_capacity(spark, tmp_path):
+@pytest.mark.parametrize("kind", ["bloom", "cuckoo"])
+def test_crawl_engine_filter_rebuild_on_capacity(spark, tmp_path, kind):
     """When the seen count outgrows the filter's sizing, the engine
     rebuilds at 2x capacity from the exact set (params change) and the
-    rebuilt filter still excludes everything seen."""
+    rebuilt filter still excludes everything seen — both filter kinds."""
     from crawlingathome_server_spark.plans.rounds import CrawlEngine
 
-    store = CheckpointStore(str(tmp_path / "cap"), n_partitions=4)
-    eng = CrawlEngine(spark, store, seed=9, default_budget=1 << 20)
+    store = CheckpointStore(str(tmp_path / f"cap_{kind}"), n_partitions=4)
+    eng = CrawlEngine(spark, store, seed=9, default_budget=1 << 20, filter_kind=kind)
     eng.bootstrap()
     eng.run_round(datagen.pages(spark, seed=50, n=200), round_epoch=1)
     p1 = store.read_manifest(store.latest_snapshot_id())["counters"]["urlseen_params"]
