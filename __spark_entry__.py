@@ -865,16 +865,20 @@ def sim_knn(spark, sf_dir):
     The oracle asserts TRUE for every row, so any IVF divergence —
     candidate generation, list routing, re-scoring, tie-breaks — turns
     this driver row red."""
-    from crawlingathome_server_spark.operators.similarity import ivf_topk
+    from crawlingathome_server_spark.operators.similarity import (
+        cosine_expr,
+        ivf_topk,
+    )
+
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     probes = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
     )
+    # the SAME cosine expression tree ivf_topk scores with — the
+    # ivf_exact_agrees oracle depends on both sides staying
+    # float-identical, so the coupling is structural, not copy-pasted
     scored = (
         F.broadcast(probes)
         .crossJoin(e)
@@ -882,11 +886,7 @@ def sim_knn(spark, sf_dir):
         .select(
             "probe_id",
             F.col("vec_id").alias("cand_id"),
-            F.round(
-                dot(F.col("pv"), F.col("v"))
-                / (F.sqrt(dot(F.col("pv"), F.col("pv"))) * F.sqrt(dot(F.col("v"), F.col("v")))),
-                6,
-            ).alias("cosine_sim"),
+            F.round(cosine_expr(F.col("pv"), F.col("v")), 6).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine_sim"), F.asc("cand_id"))

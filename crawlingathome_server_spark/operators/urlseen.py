@@ -536,6 +536,41 @@ def _cuckoo_update(
     )
 
 
+def touched_buckets(
+    updates_hashed: DataFrame, *, n_buckets: int, hash_col: str = "url_hash"
+) -> DataFrame:
+    """Distinct filter-bucket ids an update batch lands in (tiny df)."""
+    return updates_hashed.select(
+        F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int").alias("bucket")
+    ).distinct()
+
+
+def _apply_cuckoo_updates(
+    cuckoo: DataFrame,
+    updates_hashed: DataFrame,
+    *,
+    n_buckets: int,
+    n_rows: int,
+    hash_col: str,
+    delete: bool,
+    touched_only: bool,
+) -> DataFrame:
+    """Shared body of insert_into_cuckoo / delete_from_cuckoo: only the
+    touched buckets cross the cogroup; ``touched_only=True`` returns
+    JUST the updated bucket rows (the delta-commit shape — the caller
+    commits them with an Append delta so untouched buckets are never
+    read, recomputed, or rewritten)."""
+    buckets = touched_buckets(updates_hashed, n_buckets=n_buckets, hash_col=hash_col)
+    touched = cuckoo.join(buckets, on="bucket", how="left_semi")
+    updated = _cuckoo_update(
+        touched, updates_hashed, n_buckets=n_buckets, n_rows=n_rows,
+        hash_col=hash_col, delete=delete,
+    )
+    if touched_only:
+        return updated
+    return updated.unionByName(cuckoo.join(buckets, on="bucket", how="left_anti"))
+
+
 def insert_into_cuckoo(
     cuckoo: DataFrame,
     new_hashed: DataFrame,
@@ -543,30 +578,16 @@ def insert_into_cuckoo(
     n_buckets: int = 64,
     n_rows: int = 1 << 12,
     hash_col: str = "url_hash",
+    touched_only: bool = False,
 ) -> DataFrame:
     """Incremental crawl-round growth (the cuckoo analogue of the bloom's
-    OR-merge): untouched buckets pass through; touched ones insert their
-    round's new urls into the existing table. NOTE: unlike the bloom
-    path this passes the FILTER through the cogroup too, so the caller
-    should delta-commit only changed buckets (CheckpointStore does)."""
-    untouched = cuckoo.join(
-        new_hashed.select(
-            F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int").alias("bucket")
-        ).distinct(),
-        on="bucket",
-        how="left_anti",
+    OR-merge): untouched buckets pass through (or are omitted entirely
+    with ``touched_only=True``, the delta-commit shape); touched ones
+    insert their round's new urls into the existing table."""
+    return _apply_cuckoo_updates(
+        cuckoo, new_hashed, n_buckets=n_buckets, n_rows=n_rows,
+        hash_col=hash_col, delete=False, touched_only=touched_only,
     )
-    touched = cuckoo.join(
-        new_hashed.select(
-            F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int").alias("bucket")
-        ).distinct(),
-        on="bucket",
-        how="left_semi",
-    )
-    return _cuckoo_update(
-        touched, new_hashed, n_buckets=n_buckets, n_rows=n_rows,
-        hash_col=hash_col, delete=False,
-    ).unionByName(untouched)
 
 
 def _cuckoo_delete(table: np.ndarray, fp: np.ndarray, i1: np.ndarray, i2: np.ndarray) -> int:
@@ -597,16 +618,13 @@ def delete_from_cuckoo(
     n_buckets: int = 64,
     n_rows: int = 1 << 12,
     hash_col: str = "url_hash",
+    touched_only: bool = False,
 ) -> DataFrame:
     """URL expiry: remove expired urls so they become claimable again —
     the re-crawl primitive the bloom cannot express. Buckets with no
-    expirations pass through untouched."""
-    expired_buckets = expired_hashed.select(
-        F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int").alias("bucket")
-    ).distinct()
-    untouched = cuckoo.join(expired_buckets, on="bucket", how="left_anti")
-    touched = cuckoo.join(expired_buckets, on="bucket", how="left_semi")
-    return _cuckoo_update(
-        touched, expired_hashed, n_buckets=n_buckets, n_rows=n_rows,
-        hash_col=hash_col, delete=True,
-    ).unionByName(untouched)
+    expirations pass through untouched (or are omitted with
+    ``touched_only=True``, the delta-commit shape)."""
+    return _apply_cuckoo_updates(
+        cuckoo, expired_hashed, n_buckets=n_buckets, n_rows=n_rows,
+        hash_col=hash_col, delete=True, touched_only=touched_only,
+    )

@@ -297,12 +297,29 @@ class CrawlEngine:
             )
         return flt, params
 
-    def _grow_filter(self, flt: DataFrame, new_urls: DataFrame, params: dict):
-        """Incrementally add this round's urls to the persisted filter."""
+    def _grow_filter(
+        self,
+        flt: DataFrame,
+        new_urls: DataFrame,
+        params: dict,
+        *,
+        touched_only: bool = False,
+    ):
+        """Incrementally add this round's urls to the persisted filter.
+
+        ``touched_only=True`` returns ONLY the updated bucket rows — the
+        delta-commit shape: at 10^10 urls the filter is ~10^4 buckets ×
+        1 MiB, and rewriting (or even re-OR-ing) the untouched ones every
+        round is the kind of per-round full pass this engine exists to
+        avoid."""
         hashed = urlseen.hash_urls(new_urls)
         if params.get("kind") == "cuckoo":
             return urlseen.insert_into_cuckoo(
-                flt, hashed, n_buckets=params["n_buckets"], n_rows=params["n_rows"]
+                flt,
+                hashed,
+                n_buckets=params["n_buckets"],
+                n_rows=params["n_rows"],
+                touched_only=touched_only,
             )
         delta = urlseen.build_seen_filter(
             hashed,
@@ -310,7 +327,11 @@ class CrawlEngine:
             bits_per_bucket=params["bits_per_bucket"],
             k=params["k"],
         )
-        return urlseen.merge_seen_filters(flt, delta)
+        base = flt
+        if touched_only:
+            ids = urlseen.touched_buckets(hashed, n_buckets=params["n_buckets"])
+            base = flt.join(F.broadcast(ids), on="bucket", how="left_semi")
+        return urlseen.merge_seen_filters(base, delta)
 
     def run_round(
         self,
@@ -333,7 +354,7 @@ class CrawlEngine:
         # again. The exact set drops them; the cuckoo filter deletes them
         # incrementally (O(expired)); a bloom cannot forget, so any expiry
         # forces its rebuild from the remaining exact set.
-        n_expired, expired_keys, expired_df = 0, None, None
+        n_expired, expired_keys, expired_df, flt_cached = 0, None, None, None
         if self.ttl_rounds is not None and n_seen:
             cutoff = round_epoch - self.ttl_rounds
             expired = seen_urls.filter(F.col("seen_epoch") <= F.lit(cutoff)).cache()
@@ -344,12 +365,15 @@ class CrawlEngine:
                 seen_urls = seen_urls.filter(F.col("seen_epoch") > F.lit(cutoff))
                 n_seen -= n_expired
                 if params is not None and params.get("kind") == "cuckoo":
+                    # cache: this lazy delete chain is otherwise executed
+                    # twice — once under the probe, once under the commit
                     flt = urlseen.delete_from_cuckoo(
                         flt,
                         urlseen.hash_urls(expired_keys),
                         n_buckets=params["n_buckets"],
                         n_rows=params["n_rows"],
-                    )
+                    ).cache()
+                    flt_cached = flt
                 else:
                     params, flt = None, None  # bloom: rebuild below
             else:
@@ -378,21 +402,46 @@ class CrawlEngine:
         )
         total = n_seen + n_claimed
 
+        # Append-delta commits (both tables): the seen-set is
+        # parent − expired + claimed by construction, and the filter's
+        # untouched buckets are bit-identical to the parent's (cuckoo
+        # passthrough / bloom OR over disjoint buckets), so the store
+        # rewrites ONLY touched buckets by reading their parent dirs —
+        # round commit cost is O(claims + expirations + touched buckets),
+        # independent of total crawl size.
+        from ..sources.checkpoint import Append
+
+        deltas: dict = {"seen_urls": Append(new_seen, remove_keys=expired_keys)}
+        changed_flt = None
         if params is None or total > capacity:
             # (re)build at 2× headroom from the EXACT set — the filter is
-            # an accelerator, the parquet seen_urls table is the truth
+            # an accelerator, the parquet seen_urls table is the truth.
+            # Param/size changes invalidate every bucket → full rewrite.
             capacity = max(2 * total, 1024)
             all_seen = seen_urls.unionByName(new_seen).select("canon_url")
             flt, params = self._build_filter(all_seen, capacity)
         else:
-            flt = self._grow_filter(flt, new_seen.select("canon_url"), params)
-
-        # Append-delta commit: the seen-set is parent − expired + claimed
-        # by construction, so the store rewrites ONLY the touched buckets
-        # by reading their parent dirs — round commit cost is
-        # O(claims + expirations), independent of total seen size. The
-        # filter is small (≈ total bits) and rewrites whole.
-        from ..sources.checkpoint import Append
+            new_urls = new_seen.select("canon_url")
+            changed_flt = self._grow_filter(flt, new_urls, params, touched_only=True)
+            if flt_cached is not None:
+                # cuckoo TTL: buckets touched ONLY by deletions carry no
+                # new urls, but their deleted tables must still commit
+                ins_ids = urlseen.touched_buckets(
+                    urlseen.hash_urls(new_urls), n_buckets=params["n_buckets"]
+                )
+                del_only_ids = urlseen.touched_buckets(
+                    urlseen.hash_urls(expired_keys), n_buckets=params["n_buckets"]
+                ).join(ins_ids, on="bucket", how="left_anti")
+                changed_flt = changed_flt.unionByName(
+                    flt_cached.join(
+                        F.broadcast(del_only_ids), on="bucket", how="left_semi"
+                    )
+                )
+            changed_flt = changed_flt.cache()
+            flt = changed_flt  # schema-only in the tables dict
+            deltas[urlseen.FILTER_TABLE] = Append(
+                changed_flt, remove_keys=changed_flt.select("bucket")
+            )
 
         store.commit(
             {
@@ -408,10 +457,14 @@ class CrawlEngine:
                 "crawl_capacity": capacity,
                 "urlseen_params": params,
             },
-            deltas={"seen_urls": Append(new_seen, remove_keys=expired_keys)},
+            deltas=deltas,
         )
         if expired_df is not None:
             expired_df.unpersist()
+        if flt_cached is not None:
+            flt_cached.unpersist()
+        if changed_flt is not None:
+            changed_flt.unpersist()
         if total > self.rows_per_bucket * store.n_partitions:
             new_parts = store.n_partitions
             while total > self.rows_per_bucket * new_parts:

@@ -110,16 +110,23 @@ class CheckpointStore:
     @staticmethod
     def _written_counts(spark: SparkSession, path: str) -> dict[str, int]:
         """Per-__part row counts of a just-written partitioned dir (cheap:
-        zero-column scan over the new files only). Empty dir → {}."""
-        try:
-            rows = (
-                spark.read.parquet(path)
-                .groupBy("__part")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            )
-        except Exception:  # zero rows written → no parquet files to infer
+        zero-column scan over the new files only). Zero rows written →
+        {}; any OTHER failure propagates and aborts the commit BEFORE
+        the manifest exists — swallowing it would record rows=0 for
+        buckets that hold real data, silently truncating the table."""
+        has_files = any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(path)
+            for f in files
+        )
+        if not has_files:
             return {}
+        rows = (
+            spark.read.parquet(path)
+            .groupBy("__part")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
         return {str(r["__part"]): r["n"] for r in rows}
 
     # -- commit ------------------------------------------------------------
@@ -201,10 +208,12 @@ class CheckpointStore:
                 else:
                     changed = list(range(eff_parts))
 
-                if isinstance(delta, Append) and name in parent_tables:
+                if isinstance(delta, Append):
                     # O(delta): read ONLY the parent's changed bucket dirs,
                     # drop removals, add the new rows — never scan the
-                    # unchanged (at-scale, enormous) remainder
+                    # unchanged (at-scale, enormous) remainder. With no
+                    # parent entry (first commit) the content IS delta.df
+                    # — the `tables` entry stays schema-only either way.
                     spark = delta.df.sparkSession
                     old_paths = [
                         parent_parts[str(b)]["path"]

@@ -732,6 +732,41 @@ def test_crawl_engine_filter_kinds_rounds_and_resume(spark, tmp_path, kind):
 
 
 @pytest.mark.parametrize("kind", ["bloom", "cuckoo"])
+def test_filter_delta_commit_inherits_buckets(spark, tmp_path, kind):
+    """A grow round commits ONLY the filter buckets its new urls touch;
+    the rest inherit by manifest reference — and the inherited+updated
+    assembly still excludes everything ever seen."""
+    from crawlingathome_server_spark.operators.urlseen import FILTER_TABLE
+    from crawlingathome_server_spark.plans.rounds import CrawlEngine
+
+    store = CheckpointStore(str(tmp_path / f"fd_{kind}"), n_partitions=64)
+    eng = CrawlEngine(spark, store, seed=3, default_budget=1 << 20, filter_kind=kind)
+    eng.bootstrap()
+    # round 1 builds (full write) with capacity 2×200
+    eng.run_round(datagen.pages(spark, seed=70, n=200), round_epoch=1)
+    sid1 = store.latest_snapshot_id()
+    # round 2: 15 fresh urls → grow path touches ≲15 of 64 filter buckets
+    fresh = spark.range(15).select(
+        F.concat(F.lit("http://fresh.example.org/q/"), F.col("id")).alias("url"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("warc_ts"),
+    )
+    n2 = eng.run_round(fresh, round_epoch=2).count()
+    assert n2 == 15
+    sid2 = store.latest_snapshot_id()
+    parts = store.read_manifest(sid2)["tables"][FILTER_TABLE]["partitions"]
+    by = {}
+    for p in parts.values():
+        by[p["written_by"]] = by.get(p["written_by"], 0) + 1
+    assert by.get(sid2, 0) >= 1  # some buckets rewritten this round
+    assert by.get(sid1, 0) >= 20, by  # most inherited from the build
+    # assembled filter still excludes every seen url
+    both = (
+        datagen.pages(spark, seed=70, n=200).select("url", "warc_ts").unionByName(fresh)
+    )
+    assert eng.run_round(both, round_epoch=3).count() == 0
+
+
+@pytest.mark.parametrize("kind", ["bloom", "cuckoo"])
 def test_crawl_engine_ttl_recrawl(spark, tmp_path, kind):
     """ttl_rounds expiry: urls seen ≥ ttl rounds ago become claimable
     again (cuckoo deletes incrementally; bloom rebuilds). Fresh urls
