@@ -362,6 +362,76 @@ def test_append_delta_commit(spark, tmp_path):
     assert len(back2) == 504 and ("u505", 3) in back2 and ("u506", 3) in back2
 
 
+@pytest.mark.parametrize("fuzz_seed", [11, 20260817])
+def test_append_delta_fuzz_vs_model(spark, tmp_path, fuzz_seed):
+    """Model-based fuzz: a random sequence of Append commits (appends +
+    removals, sometimes re-adding previously removed keys, sometimes
+    empty batches) must keep the store read-back equal to a plain Python
+    dict model after EVERY commit — including across a mid-sequence
+    re-bucketing compaction and snapshot expiry."""
+    import random
+
+    from crawlingathome_server_spark.sources.checkpoint import Append
+
+    rng = random.Random(fuzz_seed)
+    store = CheckpointStore(str(tmp_path / "fz"), n_partitions=8)
+    model: dict[str, int] = {}
+
+    def df_of(items):
+        if not items:
+            return spark.createDataFrame([], "canon_url string, seen_epoch long")
+        return spark.createDataFrame(items, "canon_url string, seen_epoch long")
+
+    # first commit through the Append path too (schema-only tables entry)
+    first = [(f"u{i}", 0) for i in range(40)]
+    model.update(dict(first))
+    store.commit(
+        {"t": df_of([])}, seed=1, round_epoch=0, deltas={"t": Append(df_of(first))}
+    )
+    universe = [f"u{i}" for i in range(120)]
+    for ep in range(1, 7):
+        removals = [k for k in model if rng.random() < 0.25]
+        adds = [
+            (k, ep)
+            for k in rng.sample(universe, rng.randint(0, 25))
+            if k not in model or k in removals
+        ]
+        for k in removals:
+            del model[k]
+        model.update(dict(adds))
+        store.commit(
+            {"t": df_of([])},
+            seed=1,
+            round_epoch=ep,
+            deltas={
+                "t": Append(
+                    df_of(adds),
+                    remove_keys=df_of([(k, 0) for k in removals]).select("canon_url")
+                    if removals
+                    else None,
+                )
+            },
+        )
+        got = {
+            r["canon_url"]: r["seen_epoch"] for r in store.read(spark, "t").collect()
+        }
+        assert got == model, f"epoch {ep}"
+        if ep == 3:
+            store.compact(spark, seed=1, round_epoch=ep, n_partitions=16)
+            got = {
+                r["canon_url"]: r["seen_epoch"]
+                for r in store.read(spark, "t").collect()
+            }
+            assert got == model, "post-compact"
+        if ep == 5:
+            store.expire_snapshots(keep_last=2)
+            got = {
+                r["canon_url"]: r["seen_epoch"]
+                for r in store.read(spark, "t").collect()
+            }
+            assert got == model, "post-expiry"
+
+
 def test_compact_and_expire(spark, tmp_path):
     """compact() collapses delta chains; expire_snapshots() removes old
     manifests but never deletes a bucket dir a survivor still references."""
