@@ -554,13 +554,19 @@ def _apply_cuckoo_updates(
     hash_col: str,
     delete: bool,
     touched_only: bool,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Shared body of insert_into_cuckoo / delete_from_cuckoo: only the
     touched buckets cross the cogroup; ``touched_only=True`` returns
     JUST the updated bucket rows (the delta-commit shape — the caller
     commits them with an Append delta so untouched buckets are never
-    read, recomputed, or rewritten)."""
-    buckets = touched_buckets(updates_hashed, n_buckets=n_buckets, hash_col=hash_col)
+    read, recomputed, or rewritten). ``buckets`` accepts a precomputed
+    touched_buckets() df so callers already holding it don't pay the
+    distinct twice."""
+    if buckets is None:
+        buckets = touched_buckets(
+            updates_hashed, n_buckets=n_buckets, hash_col=hash_col
+        )
     touched = cuckoo.join(buckets, on="bucket", how="left_semi")
     updated = _cuckoo_update(
         touched, updates_hashed, n_buckets=n_buckets, n_rows=n_rows,
@@ -579,6 +585,7 @@ def insert_into_cuckoo(
     n_rows: int = 1 << 12,
     hash_col: str = "url_hash",
     touched_only: bool = False,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental crawl-round growth (the cuckoo analogue of the bloom's
     OR-merge): untouched buckets pass through (or are omitted entirely
@@ -587,6 +594,7 @@ def insert_into_cuckoo(
     return _apply_cuckoo_updates(
         cuckoo, new_hashed, n_buckets=n_buckets, n_rows=n_rows,
         hash_col=hash_col, delete=False, touched_only=touched_only,
+        buckets=buckets,
     )
 
 

@@ -297,40 +297,53 @@ class CrawlEngine:
             )
         return flt, params
 
-    def _grow_filter(
+    def _filter_delta_rows(
         self,
         flt: DataFrame,
         new_urls: DataFrame,
+        expired_keys: DataFrame | None,
         params: dict,
-        *,
-        touched_only: bool = False,
-    ):
-        """Incrementally add this round's urls to the persisted filter.
+    ) -> DataFrame:
+        """The filter table's delta-commit row set for a grow round:
+        every bucket touched by this round's inserts (and, for
+        deletion-capable kinds, by expirations) with its updated content.
 
-        ``touched_only=True`` returns ONLY the updated bucket rows — the
-        delta-commit shape: at 10^10 urls the filter is ~10^4 buckets ×
-        1 MiB, and rewriting (or even re-OR-ing) the untouched ones every
-        round is the kind of per-round full pass this engine exists to
-        avoid."""
+        This is the delta-commit shape: at 10^10 urls the filter is
+        ~10^4 buckets × 1 MiB, and rewriting (or even re-OR-ing) the
+        untouched ones every round is the kind of per-round full pass
+        this engine exists to avoid. Hashing/bucket jobs run once per
+        input here and are shared down the kind-specific paths.
+        ``expired_keys`` is only ever non-None for kinds that delete
+        in place (cuckoo); a bloom expiry forces a rebuild upstream."""
         hashed = urlseen.hash_urls(new_urls)
+        ids = urlseen.touched_buckets(hashed, n_buckets=params["n_buckets"])
         if params.get("kind") == "cuckoo":
-            return urlseen.insert_into_cuckoo(
+            changed = urlseen.insert_into_cuckoo(
                 flt,
                 hashed,
                 n_buckets=params["n_buckets"],
                 n_rows=params["n_rows"],
-                touched_only=touched_only,
+                touched_only=True,
+                buckets=ids,
             )
+            if expired_keys is not None:
+                # buckets touched ONLY by deletions carry no new urls,
+                # but their (already-deleted-from) tables must still
+                # commit — flt here is the post-delete filter
+                del_only = urlseen.touched_buckets(
+                    urlseen.hash_urls(expired_keys), n_buckets=params["n_buckets"]
+                ).join(ids, on="bucket", how="left_anti")
+                changed = changed.unionByName(
+                    flt.join(F.broadcast(del_only), on="bucket", how="left_semi")
+                )
+            return changed
         delta = urlseen.build_seen_filter(
             hashed,
             n_buckets=params["n_buckets"],
             bits_per_bucket=params["bits_per_bucket"],
             k=params["k"],
         )
-        base = flt
-        if touched_only:
-            ids = urlseen.touched_buckets(hashed, n_buckets=params["n_buckets"])
-            base = flt.join(F.broadcast(ids), on="bucket", how="left_semi")
+        base = flt.join(F.broadcast(ids), on="bucket", how="left_semi")
         return urlseen.merge_seen_filters(base, delta)
 
     def run_round(
@@ -355,128 +368,122 @@ class CrawlEngine:
         # incrementally (O(expired)); a bloom cannot forget, so any expiry
         # forces its rebuild from the remaining exact set.
         n_expired, expired_keys, expired_df, flt_cached = 0, None, None, None
-        if self.ttl_rounds is not None and n_seen:
-            cutoff = round_epoch - self.ttl_rounds
-            expired = seen_urls.filter(F.col("seen_epoch") <= F.lit(cutoff)).cache()
-            n_expired = expired.count()
-            if n_expired:
-                expired_df = expired
-                expired_keys = expired.select("canon_url")
-                seen_urls = seen_urls.filter(F.col("seen_epoch") > F.lit(cutoff))
-                n_seen -= n_expired
-                if params is not None and params.get("kind") == "cuckoo":
-                    # cache: this lazy delete chain is otherwise executed
-                    # twice — once under the probe, once under the commit
-                    flt = urlseen.delete_from_cuckoo(
-                        flt,
-                        urlseen.hash_urls(expired_keys),
-                        n_buckets=params["n_buckets"],
-                        n_rows=params["n_rows"],
-                    ).cache()
-                    flt_cached = flt
+        claimed, changed_flt = None, None
+        # every cached df is released in the finally even when the commit
+        # aborts (e.g. a failed written-count read) — a long-lived engine
+        # retrying rounds must not accumulate pinned filter/claim copies
+        try:
+            if self.ttl_rounds is not None and n_seen:
+                cutoff = round_epoch - self.ttl_rounds
+                expired = seen_urls.filter(
+                    F.col("seen_epoch") <= F.lit(cutoff)
+                ).cache()
+                n_expired = expired.count()
+                if n_expired:
+                    expired_df = expired
+                    expired_keys = expired.select("canon_url")
+                    seen_urls = seen_urls.filter(F.col("seen_epoch") > F.lit(cutoff))
+                    n_seen -= n_expired
+                    if params is not None and params.get("kind") == "cuckoo":
+                        # cache: this lazy delete chain is otherwise
+                        # executed twice — once under the probe, once
+                        # under the commit
+                        flt = urlseen.delete_from_cuckoo(
+                            flt,
+                            urlseen.hash_urls(expired_keys),
+                            n_buckets=params["n_buckets"],
+                            n_rows=params["n_rows"],
+                        ).cache()
+                        flt_cached = flt
+                    else:
+                        params, flt = None, None  # bloom: rebuild below
                 else:
-                    params, flt = None, None  # bloom: rebuild below
+                    expired.unpersist()
+
+            if params is not None:
+                claimed = expand_frontier(
+                    pages,
+                    robots,
+                    seed=self.seed + round_epoch,
+                    default_budget=self.default_budget,
+                    seen_filter=(flt, params),
+                )
             else:
-                expired.unpersist()
-
-        if params is not None:
-            claimed = expand_frontier(
-                pages,
-                robots,
-                seed=self.seed + round_epoch,
-                default_budget=self.default_budget,
-                seen_filter=(flt, params),
-            )
-        else:
-            claimed = expand_frontier(
-                pages,
-                robots,
-                seen_urls=seen_urls if n_seen else None,
-                seed=self.seed + round_epoch,
-                default_budget=self.default_budget,
-            )
-        claimed = claimed.cache()
-        n_claimed = claimed.count()
-        new_seen = claimed.select(
-            "canon_url", F.lit(round_epoch).cast("long").alias("seen_epoch")
-        )
-        total = n_seen + n_claimed
-
-        # Append-delta commits (both tables): the seen-set is
-        # parent − expired + claimed by construction, and the filter's
-        # untouched buckets are bit-identical to the parent's (cuckoo
-        # passthrough / bloom OR over disjoint buckets), so the store
-        # rewrites ONLY touched buckets by reading their parent dirs —
-        # round commit cost is O(claims + expirations + touched buckets),
-        # independent of total crawl size.
-        from ..sources.checkpoint import Append
-
-        deltas: dict = {"seen_urls": Append(new_seen, remove_keys=expired_keys)}
-        changed_flt = None
-        if params is None or total > capacity:
-            # (re)build at 2× headroom from the EXACT set — the filter is
-            # an accelerator, the parquet seen_urls table is the truth.
-            # Param/size changes invalidate every bucket → full rewrite.
-            capacity = max(2 * total, 1024)
-            all_seen = seen_urls.unionByName(new_seen).select("canon_url")
-            flt, params = self._build_filter(all_seen, capacity)
-        else:
-            new_urls = new_seen.select("canon_url")
-            changed_flt = self._grow_filter(flt, new_urls, params, touched_only=True)
-            if flt_cached is not None:
-                # cuckoo TTL: buckets touched ONLY by deletions carry no
-                # new urls, but their deleted tables must still commit
-                ins_ids = urlseen.touched_buckets(
-                    urlseen.hash_urls(new_urls), n_buckets=params["n_buckets"]
+                claimed = expand_frontier(
+                    pages,
+                    robots,
+                    seen_urls=seen_urls if n_seen else None,
+                    seed=self.seed + round_epoch,
+                    default_budget=self.default_budget,
                 )
-                del_only_ids = urlseen.touched_buckets(
-                    urlseen.hash_urls(expired_keys), n_buckets=params["n_buckets"]
-                ).join(ins_ids, on="bucket", how="left_anti")
-                changed_flt = changed_flt.unionByName(
-                    flt_cached.join(
-                        F.broadcast(del_only_ids), on="bucket", how="left_semi"
-                    )
-                )
-            changed_flt = changed_flt.cache()
-            flt = changed_flt  # schema-only in the tables dict
-            deltas[urlseen.FILTER_TABLE] = Append(
-                changed_flt, remove_keys=changed_flt.select("bucket")
+            claimed = claimed.cache()
+            n_claimed = claimed.count()
+            new_seen = claimed.select(
+                "canon_url", F.lit(round_epoch).cast("long").alias("seen_epoch")
             )
+            total = n_seen + n_claimed
 
-        store.commit(
-            {
-                "seen_urls": seen_urls.unionByName(new_seen),
-                urlseen.FILTER_TABLE: flt,
-            },
-            seed=self.seed,
-            round_epoch=round_epoch,
-            counters={
-                "n_seen": total,
-                "n_claimed": n_claimed,
-                "n_expired": n_expired,
-                "crawl_capacity": capacity,
-                "urlseen_params": params,
-            },
-            deltas=deltas,
-        )
-        if expired_df is not None:
-            expired_df.unpersist()
-        if flt_cached is not None:
-            flt_cached.unpersist()
-        if changed_flt is not None:
-            changed_flt.unpersist()
-        if total > self.rows_per_bucket * store.n_partitions:
-            new_parts = store.n_partitions
-            while total > self.rows_per_bucket * new_parts:
-                new_parts *= 2
-            store.compact(
-                self.spark,
+            # Append-delta commits (both tables): the seen-set is
+            # parent − expired + claimed by construction, and the filter's
+            # untouched buckets are bit-identical to the parent's (cuckoo
+            # passthrough / bloom OR over disjoint buckets), so the store
+            # rewrites ONLY touched buckets by reading their parent dirs —
+            # round commit cost is O(claims + expirations + touched
+            # buckets), independent of total crawl size.
+            from ..sources.checkpoint import Append
+
+            deltas: dict = {"seen_urls": Append(new_seen, remove_keys=expired_keys)}
+            if params is None or total > capacity:
+                # (re)build at 2× headroom from the EXACT set — the filter
+                # is an accelerator, the parquet seen_urls table is the
+                # truth. Param/size changes invalidate every bucket →
+                # full rewrite.
+                capacity = max(2 * total, 1024)
+                all_seen = seen_urls.unionByName(new_seen).select("canon_url")
+                flt, params = self._build_filter(all_seen, capacity)
+            else:
+                changed_flt = self._filter_delta_rows(
+                    flt,
+                    new_seen.select("canon_url"),
+                    expired_keys if flt_cached is not None else None,
+                    params,
+                ).cache()
+                flt = changed_flt  # schema-only in the tables dict
+                deltas[urlseen.FILTER_TABLE] = Append(
+                    changed_flt, remove_keys=Append.SAME
+                )
+
+            store.commit(
+                {
+                    "seen_urls": seen_urls.unionByName(new_seen),
+                    urlseen.FILTER_TABLE: flt,
+                },
                 seed=self.seed,
                 round_epoch=round_epoch,
-                n_partitions=new_parts,
+                counters={
+                    "n_seen": total,
+                    "n_claimed": n_claimed,
+                    "n_expired": n_expired,
+                    "crawl_capacity": capacity,
+                    "urlseen_params": params,
+                },
+                deltas=deltas,
             )
-        claimed.unpersist()
-        return claimed
+            if total > self.rows_per_bucket * store.n_partitions:
+                new_parts = store.n_partitions
+                while total > self.rows_per_bucket * new_parts:
+                    new_parts *= 2
+                store.compact(
+                    self.spark,
+                    seed=self.seed,
+                    round_epoch=round_epoch,
+                    n_partitions=new_parts,
+                )
+            return claimed
+        finally:
+            for cached in (expired_df, flt_cached, changed_flt, claimed):
+                if cached is not None:
+                    cached.unpersist()
 
 
 @dataclass

@@ -63,9 +63,18 @@ class Append:
     The ``tables`` entry for the name is consulted for schema only —
     the caller contracts that parent ∓ removals ∪ df IS the new content
     (true by construction for the crawl seen-set: expiry + new claims).
+
+    ``remove_keys=Append.SAME`` means "replace by key": the removal set
+    IS ``df``'s key column (e.g. committing updated filter buckets).
+    Cheaper than passing ``df.select(key)`` explicitly — the commit then
+    derives changed buckets from ``df`` once instead of unioning two
+    scans of the same plan.
     """
 
-    def __init__(self, df: DataFrame, remove_keys: DataFrame | None = None):
+    #: sentinel: removals = the append rows' own keys (replace-by-key)
+    SAME = "__same_keys__"
+
+    def __init__(self, df: DataFrame, remove_keys=None):
         self.df = df
         self.remove_keys = remove_keys
 
@@ -189,7 +198,10 @@ class CheckpointStore:
                 if delta is not None and delta is not UNCHANGED and name in parent_tables:
                     if isinstance(delta, Append):
                         keys = delta.df.select(F.col(delta.df.columns[0]).alias(key))
-                        if delta.remove_keys is not None:
+                        if (
+                            delta.remove_keys is not None
+                            and delta.remove_keys is not Append.SAME
+                        ):
                             keys = keys.unionByName(
                                 delta.remove_keys.select(
                                     F.col(delta.remove_keys.columns[0]).alias(key)
@@ -227,7 +239,12 @@ class CheckpointStore:
                         if old_paths
                         else spark.createDataFrame([], df.schema)
                     )
-                    if delta.remove_keys is not None:
+                    if delta.remove_keys is Append.SAME:
+                        rk = delta.df.select(
+                            F.col(delta.df.columns[0]).alias(key)
+                        ).dropDuplicates([key])
+                        old_rows = old_rows.join(rk, on=key, how="left_anti")
+                    elif delta.remove_keys is not None:
                         rk = delta.remove_keys.select(
                             F.col(delta.remove_keys.columns[0]).alias(key)
                         ).dropDuplicates([key])
