@@ -308,8 +308,16 @@ def auto_cuckoo_params(n_items: int, *, load: float = 0.8) -> dict[str, int]:
     occupancy — 0.8 is well under the b=4 cuckoo threshold (~0.95), so
     eviction chains stay short and the vectorized build's sequential
     tail stays tiny. n_rows is a power of two (the i2 = i1 ^ h(fp) trick
-    requires mask indexing)."""
-    n_buckets = max(64, -(-(n_items * 2) // MAX_BUCKET_BITS))  # ~16 bits/key
+    requires mask indexing).
+
+    Bucket count honors the same ~1 MiB-per-bucket posture as the bloom:
+    at 16 bits of fingerprint payload per key, ``n_items * 16`` filter
+    bits spread over MAX_BUCKET_BITS-bit buckets (r03 sized from
+    ``n_items * 2``, a bits-vs-bytes slip that made buckets ~8× the
+    documented size — ADVICE r03). The power-of-two rounding of n_rows
+    plus the 1/load headroom can still double a bucket table to ~2 MiB;
+    that stays a comfortable applyInPandas group."""
+    n_buckets = max(64, -(-(n_items * 16) // MAX_BUCKET_BITS))  # ~16 bits/key
     per = n_items / n_buckets
     per_eff = per + 3 * math.sqrt(per) + 8
     n_rows = 1
@@ -509,6 +517,15 @@ def _cuckoo_update(
             n_items = int(filt_pdf["n_items"].iloc[0])
             bucket = int(filt_pdf["bucket"].iloc[0])
         else:
+            if delete and len(upd_pdf):
+                # deleting from a bucket that holds no table means the
+                # urls were never inserted — a contract violation (see
+                # the removed-count check below), not a silent no-op
+                raise ValueError(
+                    f"cuckoo delete: bucket {int(upd_pdf['bucket'].iloc[0])} "
+                    f"has no filter table for {len(upd_pdf)} deletions — "
+                    "only urls actually inserted may be deleted"
+                )
             if delete or len(upd_pdf) == 0:
                 return pd.DataFrame(columns=["bucket", "table", "n_items"])
             table = np.zeros((n_rows, _CUCKOO_SLOTS_PER_ROW), dtype=np.uint16)
@@ -518,7 +535,22 @@ def _cuckoo_update(
             h = upd_pdf[hash_col].to_numpy()
             fp, i1, i2 = _cuckoo_fp_i1_i2(h, n_rows)
             if delete:
-                n_items -= _cuckoo_delete(table, fp, i1, i2)
+                removed = _cuckoo_delete(table, fp, i1, i2)
+                if removed != len(upd_pdf):
+                    # the safety contract surfaced at runtime (ADVICE r03):
+                    # every deleted url must have been inserted — deleting
+                    # an absent url can evict a colliding victim's
+                    # fingerprint, creating false NEGATIVES (duplicate
+                    # crawling). In the engine the expired keys are a
+                    # subset of the committed seen set, so a mismatch
+                    # always means contract violation or filter corruption.
+                    raise ValueError(
+                        f"cuckoo delete: removed {removed} of {len(upd_pdf)} "
+                        f"fingerprints in bucket {bucket} — deletions must "
+                        "target urls actually inserted (filter corrupt or "
+                        "caller deleting never-seen urls)"
+                    )
+                n_items -= removed
             else:
                 _cuckoo_insert(table, fp, i1, i2)
                 n_items += len(upd_pdf)

@@ -185,6 +185,22 @@ class CheckpointStore:
         snap_dir = os.path.join(self.root, f"s{snap_id:06d}")
         table_meta: dict[str, Any] = {}
 
+        def _delta_key_col(d: DataFrame, key: str) -> str:
+            """The column of a delta df that holds the table key. Contract:
+            FIRST column = key (possibly under another name, e.g. a
+            shard-number delta aliased from several sources). If the key
+            name appears elsewhere in the df, column order is ambiguous —
+            changed buckets would be derived over one column while rows
+            partition by the real key, silently dropping rows into
+            buckets the manifest never records (ADVICE r03) — fail loud."""
+            if key in d.columns and d.columns[0] != key:
+                raise ValueError(
+                    f"delta for key '{key}' carries that column at position "
+                    f"{d.columns.index(key)}, not first ({d.columns}); "
+                    "reorder (key first) or drop the stray column"
+                )
+            return d.columns[0]
+
         for name, df in tables.items():
             key = df.columns[0]
             delta = deltas.get(name)
@@ -197,18 +213,22 @@ class CheckpointStore:
             else:
                 if delta is not None and delta is not UNCHANGED and name in parent_tables:
                     if isinstance(delta, Append):
-                        keys = delta.df.select(F.col(delta.df.columns[0]).alias(key))
+                        keys = delta.df.select(
+                            F.col(_delta_key_col(delta.df, key)).alias(key)
+                        )
                         if (
                             delta.remove_keys is not None
                             and delta.remove_keys is not Append.SAME
                         ):
                             keys = keys.unionByName(
                                 delta.remove_keys.select(
-                                    F.col(delta.remove_keys.columns[0]).alias(key)
+                                    F.col(
+                                        _delta_key_col(delta.remove_keys, key)
+                                    ).alias(key)
                                 )
                             )
                     else:
-                        keys = delta.select(F.col(delta.columns[0]).alias(key))
+                        keys = delta.select(F.col(_delta_key_col(delta, key)).alias(key))
                     changed = sorted(
                         r[0]
                         for r in keys.select(

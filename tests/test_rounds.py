@@ -362,6 +362,53 @@ def test_append_delta_commit(spark, tmp_path):
     assert len(back2) == 504 and ("u505", 3) in back2 and ("u506", 3) in back2
 
 
+def test_delta_key_column_order_mismatch_fails_loud(spark, tmp_path):
+    """A delta df that carries the table key BY NAME but not FIRST would
+    derive changed buckets over the wrong column while rows partition by
+    the real key — rows would land in buckets the manifest never records
+    and silently vanish on read (ADVICE r03). The commit must refuse."""
+    from crawlingathome_server_spark.sources.checkpoint import Append
+
+    store = CheckpointStore(str(tmp_path / "ko"), n_partitions=16)
+    base = spark.range(0, 200).select(
+        F.concat(F.lit("u"), F.col("id")).alias("canon_url"),
+        F.lit(1).cast("long").alias("seen_epoch"),
+    )
+    store.commit({"t": base}, seed=1, round_epoch=0)
+    # key present by name but NOT first → ambiguous, must raise
+    bad = spark.range(200, 205).select(
+        F.lit(2).cast("long").alias("seen_epoch"),
+        F.concat(F.lit("u"), F.col("id")).alias("canon_url"),
+    )
+    with pytest.raises(ValueError, match="not first"):
+        store.commit(
+            {"t": base.unionByName(bad)},
+            seed=1,
+            round_epoch=1,
+            deltas={"t": Append(bad)},
+        )
+    with pytest.raises(ValueError, match="not first"):
+        store.commit(
+            {"t": base}, seed=1, round_epoch=1, deltas={"t": bad}
+        )
+    # a RENAMED first-column key (no shadow of the table key name) is the
+    # documented contract and still works
+    renamed = spark.range(0, 3).select(
+        F.concat(F.lit("u"), F.col("id")).alias("expired_url")
+    )
+    sid = store.commit(
+        {"t": base.join(
+            renamed.select(F.col("expired_url").alias("canon_url")),
+            "canon_url",
+            "left_anti",
+        )},
+        seed=1,
+        round_epoch=1,
+        deltas={"t": renamed},
+    )
+    assert store.read(spark, "t", sid).count() == 197
+
+
 @pytest.mark.parametrize("fuzz_seed", [11, 20260817])
 def test_append_delta_fuzz_vs_model(spark, tmp_path, fuzz_seed):
     """Model-based fuzz: a random sequence of Append commits (appends +

@@ -237,3 +237,40 @@ def test_cuckoo_over_capacity_raises(spark):
     fp, i1, i2 = urlseen._cuckoo_fp_i1_i2(h, 4)
     with pytest.raises(ValueError, match="over capacity"):
         urlseen._cuckoo_insert(table, fp, i1, i2)
+
+
+def test_cuckoo_delete_never_inserted_raises(spark):
+    """The delete safety contract is enforced at runtime (ADVICE r03):
+    deleting urls that were never inserted can evict a colliding victim's
+    fingerprint (false negatives → duplicate crawling), so the cogroup
+    raises when a batch's removed-count falls short — including the
+    degenerate case of a delete aimed at a bucket with no table."""
+    import pytest
+
+    params = urlseen.auto_cuckoo_params(5_000)
+    seen = _hashed_urls(spark, "http://c.example.com/p/", 0, 5_000)
+    flt = urlseen.build_cuckoo_filter(seen, **params)
+    never = _hashed_urls(spark, "http://never.example.net/x/", 0, 2_000)
+    with pytest.raises(Exception, match="cuckoo delete"):
+        urlseen.delete_from_cuckoo(flt, never, **params).collect()
+    # legitimate delete of a true subset still passes
+    sub = _hashed_urls(spark, "http://c.example.com/p/", 0, 1_000)
+    out = urlseen.delete_from_cuckoo(flt, sub, **params)
+    assert sum(r["n_items"] for r in out.collect()) == 4_000
+
+
+def test_auto_cuckoo_params_bucket_size_posture():
+    """Buckets honor the documented ~1 MiB posture (ADVICE r03 fixed a
+    bits-vs-bytes slip that oversized them ~8×): at any scale the bucket
+    table stays ≤ 2 MiB (power-of-two rounding + 1/load headroom over the
+    1 MiB bit budget), and bucket count grows with n_items so build/probe
+    parallelism isn't floored at 64 for 10^8-key filters."""
+    for n_items in (1_000_000, 100_000_000, 10_000_000_000):
+        p = urlseen.auto_cuckoo_params(n_items)
+        table_bytes = p["n_rows"] * urlseen._CUCKOO_SLOTS_PER_ROW * 2
+        assert table_bytes <= 2 << 20, (n_items, p, table_bytes)
+        # capacity must cover the expected per-bucket share at 0.8 load
+        per = n_items / p["n_buckets"]
+        assert p["n_rows"] * urlseen._CUCKOO_SLOTS_PER_ROW * 0.8 >= per, (n_items, p)
+    assert urlseen.auto_cuckoo_params(100_000_000)["n_buckets"] > 64
+    assert urlseen.auto_cuckoo_params(10_000_000_000)["n_buckets"] >= 10_000
