@@ -291,11 +291,29 @@ def run_bench(spark, sf_dir: str) -> dict:
     )
 
     # the TRUE crawl loop at volume: href extraction (JVM regex, r03) →
-    # canonicalize → dedup → URL-seen-free claim over the same 400k-page
-    # html corpus — frontier expansion from raw pages, Python-free
-    # (plan-asserted in tests/test_plans.py)
-    html_with_ts = html_pages.withColumn(
-        "warc_ts", F.timestamp_seconds(F.lit(1_600_000_000) + F.col("id") % 86_400)
+    # RELATIVE-href resolution against the page url (r04) → canonicalize
+    # → dedup → URL-seen-free claim — frontier expansion from raw pages,
+    # Python-free (plan-asserted in tests/test_plans.py). The corpus gets
+    # an extra relative link per page (appended HERE so the extract_text
+    # rows above stay byte-identical to r03's — like-for-like timing);
+    # each page needs a url for the resolver base.
+    html_with_ts = html_pages.select(
+        F.concat(
+            F.lit("http://h"),
+            F.pmod(F.col("id"), F.lit(997)),
+            F.lit(".example.com/dir/page"),
+            F.col("id"),
+        ).alias("url"),
+        F.concat(
+            "html",
+            F.encode(
+                F.concat(F.lit('<a href="../rel/'), F.col("id"), F.lit('">r</a>')),
+                "UTF-8",
+            ),
+        ).alias("html"),
+        F.timestamp_seconds(F.lit(1_600_000_000) + F.col("id") % 86_400).alias(
+            "warc_ts"
+        ),
     )
     n_links_scheduled = expand_frontier(
         html_with_ts, None, seed=3, default_budget=1 << 30, follow_links=True

@@ -89,41 +89,56 @@ _RE_HREF = re.compile(
 )
 
 
-def _links_one(raw: bytes | None) -> list[str]:
+def _hrefs_one(raw: bytes | None) -> list[str]:
     if raw is None:
         return []
-    out = []
-    for m in _RE_HREF.finditer(raw):
-        href = m.group(1).decode("utf-8", errors="replace")
-        if href.startswith(("http://", "https://")):
-            out.append(href)
-    return out
+    return [m.group(1).decode("utf-8", errors="replace") for m in _RE_HREF.finditer(raw)]
+
+
+def _links_one(raw: bytes | None) -> list[str]:
+    return [
+        h for h in _hrefs_one(raw) if h.startswith(("http://", "https://"))
+    ]
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_hrefs(html: pd.Series) -> pd.Series:
+    """html:binary → ALL raw ``<a href>`` values, relative ones included
+    (precompiled regex over raw bytes, vectorized per Arrow batch).
+    Resolution against the page url is :func:`..urls.resolve_url` /
+    ``resolve_url_expr`` — applied by expand_frontier where the base url
+    is in scope. Fragments never appear (the charset stops at ``#``)."""
+    return html.map(_hrefs_one)
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def extract_links(html: pd.Series) -> pd.Series:
-    """html:binary → absolute outgoing hrefs (precompiled regex over raw
-    bytes, vectorized per Arrow batch). Relative links are skipped —
-    resolution against the base url happens in expand_frontier where the
-    page url is in scope."""
+    """html:binary → the ABSOLUTE http(s) outgoing hrefs only. Kept as
+    the narrow pre-r04 contract (WAT-style already-absolute link lists);
+    crawl frontier expansion uses :func:`extract_hrefs` + base-url
+    resolution instead, so relative links are scheduled too."""
     return html.map(_links_one)
 
 
-def extract_links_jvm(html: Column) -> Column:
-    """Codegen twin of :func:`extract_links` — the same href regex
+def extract_hrefs_jvm(html: Column) -> Column:
+    """Codegen twin of :func:`extract_hrefs` — the same href regex
     evaluated by the JVM over the decoded page, so frontier expansion
     with ``follow_links=True`` stays Python-free end to end (the
     expand_frontier default). Identical to the pandas path on valid
     UTF-8 (the href charset ``[^"'#\\s]`` excludes every byte a UTF-8
     decode could alter); parity is asserted on the golden fixtures and
     a randomized corpus in tests/test_functions.py."""
-    hrefs = F.regexp_extract_all(
+    return F.regexp_extract_all(
         F.decode(html, "UTF-8"),
         F.lit(r"""(?is)<a\s[^>]*?href\s*=\s*["']([^"'#\s]+)["']"""),
         F.lit(1),
     )
+
+
+def extract_links_jvm(html: Column) -> Column:
+    """Codegen twin of :func:`extract_links` (absolute-only contract)."""
     return F.filter(
-        hrefs,
+        extract_hrefs_jvm(html),
         lambda u: u.startswith("http://") | u.startswith("https://"),
     )
 

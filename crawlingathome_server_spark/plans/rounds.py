@@ -60,13 +60,29 @@ def expand_frontier(
     """
     if follow_links:
         # True frontier expansion: the candidates are the pages' outgoing
-        # links (one explode), not the already-fetched page urls. The JVM
-        # href extractor keeps even this path Python-free (pandas twin
-        # `extract_links` kept as the byte-level reference; parity tested).
-        from ..functions.text import extract_links_jvm
+        # links (one explode), not the already-fetched page urls. Raw
+        # hrefs — RELATIVE ones included, the bulk of real intra-site
+        # links — resolve against the page url (RFC 3986-ish merge +
+        # dot-segment removal, functions/urls.resolve_url_expr), then
+        # non-http(s) schemes (mailto:, javascript:, ftp:) drop out. The
+        # JVM extractor + expression resolver keep this path Python-free
+        # (pandas twins `extract_hrefs`/`resolve_url` are the byte-level
+        # references; parity tested).
+        from ..functions.text import extract_hrefs_jvm
+        from ..functions.urls import resolve_url_expr
 
-        candidates = pages.select(
-            F.explode(extract_links_jvm(F.col("html"))).alias("url"), "warc_ts"
+        exploded = pages.select(
+            F.col("url").alias("__base"),
+            "warc_ts",
+            F.explode(extract_hrefs_jvm(F.col("html"))).alias("__href"),
+        )
+        resolved = exploded.select(
+            resolve_url_expr(F.col("__base"), F.col("__href")).alias("url"),
+            "warc_ts",
+        )
+        low = F.lower(F.col("url"))
+        candidates = resolved.filter(
+            low.startswith("http://") | low.startswith("https://")
         )
     else:
         candidates = pages.select("url", "warc_ts")

@@ -145,8 +145,8 @@ def test_extract_text_jvm_twin_randomized_corpus(spark):
 
 
 def test_extract_links_jvm_twin_parity(spark):
-    """The codegen href extractor returns exactly the pandas path's links
-    (same regex, same absolute-url filter, same order) on the golden
+    """Both codegen href extractors (raw + absolute-only) return exactly
+    the pandas paths' links (same regex, same order) on the golden
     fixtures and on quote/case/whitespace edge cases."""
     pages = datagen.pages(spark, seed=7, n=400)
     edge = spark.createDataFrame(
@@ -156,6 +156,7 @@ def test_extract_links_jvm_twin_parity(spark):
             (b'<a href="/relative/skip">r</a><a href="ftp://no.com">f</a>',),
             (b'<a href="http://frag.com/p#frag">cut at #? no: charset stops</a>',),
             (b"<a href='http://u.com/\xc3\xbcber'>unicode</a>",),
+            (b"<a href='../up/one'>rel</a><a href='sib.html?x=1'>q</a>",),
             (b"no links here",),
         ],
         "html binary",
@@ -164,9 +165,76 @@ def test_extract_links_jvm_twin_parity(spark):
         rows = df.select(
             tx.extract_links(F.col("html")).alias("py"),
             tx.extract_links_jvm(F.col("html")).alias("jvm"),
+            tx.extract_hrefs(F.col("html")).alias("py_raw"),
+            tx.extract_hrefs_jvm(F.col("html")).alias("jvm_raw"),
         ).collect()
         for r in rows:
             assert list(r["py"]) == list(r["jvm"]), (r["py"], r["jvm"])
+            assert list(r["py_raw"]) == list(r["jvm_raw"]), (r["py_raw"], r["jvm_raw"])
+
+
+# (base, href) cases for relative-url resolution — every shape the href
+# regex can emit: absolute, scheme-relative, root-relative, path-relative
+# incl. ./ ../ chains past root, query-only, trailing-dot directories,
+# non-http schemes, uppercase bases, ports, base urls with/without paths.
+_RESOLVE_CASES = [
+    ("http://a.com/p/q/doc.html", "http://b.com/x"),
+    ("http://a.com/p/q/doc.html", "other.html"),
+    ("http://a.com/p/q/doc.html", "./other.html"),
+    ("http://a.com/p/q/doc.html", "../up.html"),
+    ("http://a.com/p/q/doc.html", "../../root.html"),
+    ("http://a.com/p/q/doc.html", "../../../past-root.html"),
+    ("http://a.com/p/q/doc.html", "/abs/path"),
+    ("http://a.com/p/q/doc.html", "/abs/../sib"),
+    ("http://a.com/p/q/doc.html", "//cdn.com/lib.js"),
+    ("https://a.com/p/q/", "child"),
+    ("https://a.com/p/q/", "../x?a=1&b=2"),
+    ("http://a.com", "rel.html"),
+    ("http://a.com", "/rooted"),
+    ("http://a.com:8080/p/doc", "x/y"),
+    ("http://a.com/p/doc?base=q", "sib"),
+    ("http://a.com/p/doc", "?only=query"),
+    ("http://a.com/p/doc", "."),
+    ("http://a.com/p/q/doc", ".."),
+    ("http://a.com/p/doc", "a//b"),
+    ("http://a.com/p/doc", "mailto:x@y.com"),
+    ("http://a.com/p/doc", "javascript:void(0)"),
+    ("http://a.com/p/doc", "ftp://f.com/z"),
+]
+
+
+def test_resolve_url_jvm_python_parity(spark):
+    """resolve_url_expr (codegen) ≡ resolve_url (python twin), byte-for-
+    byte, across every href shape."""
+    from crawlingathome_server_spark.functions import urls as U
+
+    df = spark.createDataFrame(_RESOLVE_CASES, "base string, href string")
+    rows = df.select(
+        "base",
+        "href",
+        U.resolve_url_expr(F.col("base"), F.col("href")).alias("jvm"),
+    ).collect()
+    for r in rows:
+        assert r["jvm"] == U.resolve_url(r["base"], r["href"]), (
+            r["base"], r["href"], r["jvm"], U.resolve_url(r["base"], r["href"])
+        )
+
+
+def test_resolve_url_matches_urljoin():
+    """The shared algorithm agrees with the stdlib RFC 3986 resolver on
+    all standard cases (urljoin is the independent oracle here)."""
+    from urllib.parse import urljoin
+
+    from crawlingathome_server_spark.functions.urls import resolve_url
+
+    for base, href in _RESOLVE_CASES:
+        if href.startswith(("mailto:", "javascript:")):
+            continue  # urljoin special-cases unknown schemes differently
+        if "//" in href.lstrip("/"):
+            # urljoin collapses interior empty segments ('a//b'→'a/b');
+            # RFC 3986 §5.2.4 preserves them, as we do
+            continue
+        assert resolve_url(base, href) == urljoin(base, href), (base, href)
 
 
 def test_extract_text_jvm_documented_divergence(spark):

@@ -572,18 +572,56 @@ def test_expire_keeps_referenced_buckets(spark, tmp_path):
 
 def test_expand_frontier_follow_links(spark):
     """True frontier expansion: candidates come from the pages' outgoing
-    hrefs (absolute only), canonicalized, deduped, budgeted."""
+    hrefs — RELATIVE ones resolved against the page url (r04; previously
+    silently dropped), canonicalized, deduped, budgeted."""
     pages = datagen.pages(spark, seed=51, n=300)
     out = expand_frontier(pages, None, seed=1, default_budget=1 << 20, follow_links=True)
     urls = [r["canon_url"] for r in out.collect()]
     assert len(urls) > 0
     assert all(u.startswith("http://") for u in urls)
-    assert not any("/relative/" in u for u in urls)  # relative hrefs skipped
+    # the planted '/relative/skipN' hrefs resolve to absolute urls on the
+    # page's own host and get scheduled
+    rel = [u for u in urls if "/relative/skip" in u]
+    assert rel, urls[:5]
+    assert all(".example.com/relative/skip" in u for u in rel)
     # discovered links differ from the fetched page urls
     page_urls = {r["url"] for r in pages.select("url").collect()}
     assert not set(urls) <= page_urls
     # both link families present (same-host nexts and cross-host refs)
     assert any("/p/" in u for u in urls) and any("/x/" in u for u in urls)
+
+
+def test_expand_frontier_follow_links_resolves_all_shapes(spark):
+    """One synthetic page exercising every href shape end-to-end through
+    expand_frontier: absolute kept, root-relative and ../-relative
+    resolved (dot segments removed), scheme-relative gets the base
+    scheme, mailto/javascript/ftp dropped."""
+    import datetime as dt
+
+    html = (
+        b'<a href="http://other.com/abs">a</a>'
+        b'<a href="/root/doc">b</a>'
+        b'<a href="sibling">c</a>'
+        b'<a href="../up/x?q=1">d</a>'
+        b'<a href="//cdn.net/lib">e</a>'
+        b'<a href="mailto:x@y.z">f</a>'
+        b'<a href="javascript:void(0)">g</a>'
+        b'<a href="ftp://files.com/z">h</a>'
+    )
+    pages = spark.createDataFrame(
+        [("http://base.example.com/p/q/doc.html",
+          dt.datetime(2020, 9, 13, tzinfo=dt.timezone.utc), html, "t", "en")],
+        schema=schemas.PAGES,
+    )
+    out = expand_frontier(pages, None, seed=1, default_budget=1 << 20, follow_links=True)
+    got = sorted(r["canon_url"] for r in out.collect())
+    assert got == [
+        "http://base.example.com/p/q/sibling",
+        "http://base.example.com/p/up/x?q=1",
+        "http://base.example.com/root/doc",
+        "http://cdn.net/lib",
+        "http://other.com/abs",
+    ], got
 
 
 def test_multi_round_state_machine_invariants(spark, tmp_path):
