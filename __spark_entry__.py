@@ -1250,10 +1250,12 @@ def t_fingerprint(spark, sf_dir):
     "AS n_tokens_bpeish FROM documents",
 )
 def t_token_bpeish(spark, sf_dir):
-    """BPE-ish token counting (regex pre-tokenizer, vectorized UDF)."""
+    """BPE-ish token counting — JVM regexp_extract_all count (r04; the
+    pandas UDF token_count_bpeish stays as the contract reference,
+    parity-tested in tests/test_functions.py)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", tx.token_count_bpeish(F.col("text")).alias("n_tokens_bpeish")
+        "doc_id", tx.token_count_bpeish_jvm(F.col("text")).alias("n_tokens_bpeish")
     )
 
 

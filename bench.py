@@ -89,6 +89,15 @@ def run_bench(spark, sf_dir: str) -> dict:
     )
 
     docs_sf = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # contrast row for the r04 JVM bpeish counter (the t_token_count_bpeish
+    # headline above): the retired-from-headline pandas UDF path
+    from crawlingathome_server_spark.functions.text import token_count_bpeish
+
+    timings["t_token_bpeish_pandas_udf"] = best_of(
+        lambda: _materialize(
+            docs_sf.select("doc_id", token_count_bpeish(F.col("text")).alias("n"))
+        )
+    )
     timings["dedup_minhash_lsh_expr"] = best_of(
         lambda: _materialize(minhash_dedup(docs_sf, threshold=0.5, mode="expr"))
     )
@@ -458,6 +467,33 @@ def _scaling_summary() -> dict:
     return {}
 
 
+#: top-level fields of the PRINTED line. The full result is archived in
+#: BENCH/last_bench_sf{sf}.json; the printed line stays well under the
+#: driver's stdout-tail capture window (r03's ~3.4 KB line overflowed it
+#: and was recorded as parsed:null — VERDICT r03 item #2).
+_COMPACT_KEYS = (
+    "metric",
+    "value",
+    "unit",
+    "sf",
+    "urls_scheduled_per_sec",
+    "flagship_2m_urls_scheduled",
+    "claim_frontier_rows_per_sec",
+    "urlseen_urls_per_sec",
+    "cuckooseen_urls_per_sec",
+    "extract_text_pandas_mb_per_sec",
+    "extract_text_jvm_mb_per_sec",
+    "follow_links_urls_scheduled",
+    "follow_links_pages_per_sec",
+    "crawl_round_pages_per_sec",
+    "crawl_round_bytes_rewritten",
+    "scaling_efficiency_N_to_4N",
+    "scaling_efficiency_4_to_16",
+    "scaling_efficiency_8_to_32_literal",
+    "scaling_efficiency_frontier_pipeline",
+)
+
+
 def main() -> None:
     from crawlingathome_server_spark.session import get_spark
 
@@ -467,7 +503,20 @@ def main() -> None:
         result = run_bench(spark, sf_dir)
     finally:
         spark.stop()
-    print(json.dumps(result))
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH",
+        f"last_bench_sf{result['sf']}.json",
+    )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(result, f, indent=2, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: the printed line still carries the KPIs
+    compact = {k: result[k] for k in _COMPACT_KEYS if k in result}
+    compact["queries"] = {k: round(v, 3) for k, v in result["queries"].items()}
+    compact["full"] = os.path.relpath(full_path, os.path.dirname(full_path) + "/..")
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -245,9 +245,21 @@ def token_count_ws(text: Column) -> Column:
 
 @F.pandas_udf(T.LongType())
 def token_count_bpeish(texts: pd.Series) -> pd.Series:
-    """BPE-ish token count via precompiled regex (vectorized)."""
+    """BPE-ish token count via precompiled regex (vectorized) — the
+    byte-contract reference for :func:`token_count_bpeish_jvm`."""
     pat = re.compile(_BPEISH)
     return texts.map(lambda t: len(pat.findall(t)) if t is not None else 0)
+
+
+def token_count_bpeish_jvm(text: Column) -> Column:
+    """Codegen twin of :func:`token_count_bpeish` — the same pre-tokenizer
+    regex counted by the JVM (``size(regexp_extract_all(...))``), so the
+    headline text suite carries no pandas UDF at all (VERDICT r03 item
+    #6). ``(?U)`` makes Java's ``\\s`` match Python's unicode str-mode
+    ``\\s`` (same contract note as extract_text_jvm); parity on the
+    documents corpus is pytest-asserted."""
+    n = F.size(F.regexp_extract_all(text, F.lit("(?U)" + _BPEISH), F.lit(0)))
+    return F.when(text.isNull(), F.lit(0)).otherwise(n).cast("long")
 
 
 # --- document fingerprinting (rolling polynomial hash) --------------------

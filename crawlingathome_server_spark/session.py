@@ -46,6 +46,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
+        # keep stdout/stderr clean for drivers that tail-capture the bench
+        # JSON line (BENCH r03 was recorded parsed:null from output noise)
+        .config("spark.ui.showConsoleProgress", "false")
         # Spark 4.1's checksummed streaming-checkpoint manager deadlocks on
         # plain local FS (state-store delta file creation awaits forever);
         # plain checkpoint files are fine for this engine's semantics.

@@ -287,6 +287,25 @@ def test_token_counts(spark):
     assert rows[1]["ws"] == 2 and rows[1]["bpe"] == 5  # a , b c !
 
 
+def test_token_count_bpeish_jvm_twin_parity(spark):
+    """The codegen bpeish counter (the r04 driver-query path) matches the
+    pandas contract reference on the documents corpus plus unicode /
+    null / empty edge cases."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("text")
+    edge = spark.createDataFrame(
+        [("über das 日本語!",), ("a  b\tc\nd",), ("",), (None,), ("42x9",),
+         ("non\xa0breaking",)],
+        "text string",
+    )
+    for df in (docs, edge):
+        rows = df.select(
+            tx.token_count_bpeish(F.col("text")).alias("py"),
+            tx.token_count_bpeish_jvm(F.col("text")).alias("jvm"),
+        ).collect()
+        for r in rows:
+            assert r["py"] == r["jvm"], (r["py"], r["jvm"])
+
+
 def test_fingerprint_pure(spark):
     df = spark.createDataFrame(
         [("abc",), ("abc",), ("abd",), (None,), ("",)], ["t"]
