@@ -383,6 +383,39 @@ def run_bench(spark, sf_dir: str) -> dict:
         shutil.rmtree(crawl_root, ignore_errors=True)
     timings["crawl_round_2m_commit"] = crawl_round_s
 
+    # RoundEngine frontier-commit cost vs frontier SIZE (VERDICT r03 item
+    # #3): same ~100k-claim round over a 2M- and a 16M-row frontier, in
+    # both commit modes. The r04 'patch' mode (merge-on-read) point-reads
+    # touched buckets, re-applies the transition chain to just those rows,
+    # and commits them as a delta LAYER — its size-growth is only the
+    # (inherent, narrow-projection) claim scan; the pre-r04 'rewrite'
+    # mode re-executes the whole transition plan and pays the full-table
+    # write. (Bucket-granular Append is no contrast here: 100k uniformly
+    # hashed keys touch every bucket, degenerating to a full rewrite —
+    # see NOTES.md r04.) Single-shot timings (stateful engine); rewrite
+    # runs FIRST (a key-delta commit is refused once layers exist).
+    from crawlingathome_server_spark.datagen import workers as synth_workers
+    from crawlingathome_server_spark.plans.rounds import RoundEngine
+
+    rr_times = {}
+    for label, n_rows in (("2m", 2_000_000), ("16m", 16_000_000)):
+        rr_root = tempfile.mkdtemp(prefix=f"rr_bench_{label}", dir="/tmp")
+        try:
+            store = CheckpointStore(rr_root, n_partitions=64)
+            eng = RoundEngine(spark, store, seed=9, host_default_budget=2)
+            eng.bootstrap(
+                synth_frontier_expr(spark, n_rows), synth_workers(spark)
+            )  # untimed full write
+            for ep, mode in ((1, "rewrite"), (2, "patch")):
+                t0 = time.perf_counter()
+                eng.run_round(round_epoch=ep, frontier_commit=mode)
+                rr_times[f"roundengine_{label}_{mode}"] = round(
+                    time.perf_counter() - t0, 4
+                )
+        finally:
+            shutil.rmtree(rr_root, ignore_errors=True)
+    timings.update(rr_times)
+
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     n_cores = spark.sparkContext.defaultParallelism
@@ -430,6 +463,16 @@ def run_bench(spark, sf_dir: str) -> dict:
         "follow_links_urls_scheduled": n_links_scheduled,
         "follow_links_pages_per_sec": round(n_html / follow_links_s, 1),
         "crawl_round_pages_per_sec": round(2_000_000 / crawl_round_s, 1),
+        # growth factor of round time when the frontier grows 8x: patch
+        # should stay near the claim-scan growth; rewrite pays the full
+        # transition re-execution + full-table write
+        "roundengine_8x_growth_patch": round(
+            rr_times["roundengine_16m_patch"] / rr_times["roundengine_2m_patch"], 2
+        ),
+        "roundengine_8x_growth_rewrite": round(
+            rr_times["roundengine_16m_rewrite"] / rr_times["roundengine_2m_rewrite"],
+            2,
+        ),
         "crawl_round_urls_claimed": n_round2,
         "crawl_round_bytes_rewritten": crawl_bytes,
         "crawl_round_seen_total": final_counters["n_seen"],
@@ -487,6 +530,8 @@ _COMPACT_KEYS = (
     "follow_links_pages_per_sec",
     "crawl_round_pages_per_sec",
     "crawl_round_bytes_rewritten",
+    "roundengine_8x_growth_patch",
+    "roundengine_8x_growth_rewrite",
     "scaling_efficiency_N_to_4N",
     "scaling_efficiency_4_to_16",
     "scaling_efficiency_8_to_32_literal",

@@ -544,6 +544,12 @@ class RoundEngine:
         cpu_lb = cpu_leaderboard
         if cpu_lb is None:
             cpu_lb = self.spark.createDataFrame([], schema=schemas.CPU_LEADERBOARD)
+        # seed the manifest with the dashboard stats so every subsequent
+        # round can maintain them INCREMENTALLY (counts drift by the
+        # touched-row deltas) instead of re-scanning the whole frontier —
+        # the bootstrap is a full write anyway, so one narrow aggregate
+        # here is its honest cost
+        stats = agg.frontier_stats(frontier).collect()[0].asDict()
         return self.store.commit(
             {
                 "frontier": frontier,
@@ -553,6 +559,7 @@ class RoundEngine:
             },
             seed=self.seed,
             round_epoch=round_epoch,
+            counters=stats,
         )
 
     def run_round(
@@ -564,14 +571,47 @@ class RoundEngine:
         robots: DataFrame | None = None,
         stage: str = "cpu",
         worker_type: str = "CPU",
+        frontier_commit: str = "patch",
     ) -> RoundResult:
         """One deterministic round: S_k → S_{k+1}.
 
         Order mirrors the per-request server: completions first
         (main.py:627-697), then reaper (main.py:748-759), then claims
         (main.py:533-598), then leaderboard/stats (E3).
+
+        ``frontier_commit`` (r04, VERDICT r03 item #3). The first two
+        modes recompute the round's updated frontier ROWS from a
+        point-read of just the touched buckets (store.read_buckets + the
+        same transition chain) — the commit never re-executes the
+        transition plan over the whole frontier — and maintain the
+        dashboard stats incrementally from the touched-row before/after
+        deltas; they differ in how the updated rows are committed:
+          - ``"patch"`` (default): merge-on-read layer (checkpoint.Patch)
+            — the commit WRITES only the updated rows, so beyond the
+            (semantically required, narrow-projection) claim scan the
+            round's commit cost is O(transitions), independent of
+            frontier size. Bucket-granular deltas cannot deliver that: a
+            uniformly-hashed 100k-key batch touches every bucket of any
+            realistically-sized store, so "rewrite only touched buckets"
+            degenerates to a full rewrite. Layer chains fold at the
+            store's patch_layers_max (amortized O(1)).
+          - ``"append"``: bucket-granular checkpoint.Append — rewrites
+            every touched bucket from the parent's dirs. Right shape when
+            rounds touch FEW buckets (small batches / clustered keys);
+            kept for that regime and as a second equivalence oracle.
+          - ``"rewrite"``: the pre-r04 key-delta path (full transition
+            plan executed, changed buckets filtered out of it) — the
+            equivalence oracle (tests assert all paths commit identical
+            state).
         """
+        if frontier_commit not in ("patch", "append", "rewrite"):
+            raise ValueError(
+                f"frontier_commit must be patch|append|rewrite: {frontier_commit}"
+            )
         spark, seed = self.spark, self.seed
+        parent_counters = self.store.read_manifest(
+            self.store.latest_snapshot_id()
+        )["counters"]
         frontier = self.store.read(spark, "frontier")
         workers = self.store.read(spark, "workers")
         leaderboard = self.store.read(spark, "leaderboard")
@@ -620,13 +660,43 @@ class RoundEngine:
         n_claims = claims.count()
         frontier = claim_op.apply_claims(frontier, claims, round_epoch=round_epoch)
 
-        stats_row = agg.frontier_stats(frontier).collect()[0].asDict()
-        # Delta commit: only the frontier buckets touched by this round's
-        # claims, completions, and reaper releases get rewritten; the rest
-        # of the (at-scale, enormous) frontier is inherited by reference.
-        frontier_delta = claims.select("number").unionByName(reaped_shards)
+        touched = claims.select("number").unionByName(reaped_shards)
         if completions is not None:
-            frontier_delta = frontier_delta.unionByName(completions.select("number"))
+            touched = touched.unionByName(completions.select("number"))
+        touched = touched.dropDuplicates(["number"])
+
+        sub_before = sub_after = None
+        if frontier_commit in ("patch", "append"):
+            # Point-read the touched buckets, restrict to the touched
+            # keys, and re-apply the SAME per-key transition chain — the
+            # merges only alter rows matching their delta keys, so the
+            # subset transform equals the full-plan transform restricted
+            # to those keys (pytest-asserted vs the rewrite path).
+            from ..sources.checkpoint import Append, Patch
+
+            sub_before = (
+                self.store.read_buckets(spark, "frontier", touched)
+                .join(F.broadcast(touched), on="number", how="left_semi")
+                .cache()
+            )
+            sub_after = sub_before
+            if completions is not None:
+                sub_after = tr.complete_jobs(sub_after, completions)
+            sub_after = tr.release_claims(sub_after, reaped_shards)
+            sub_after = claim_op.apply_claims(
+                sub_after, claims, round_epoch=round_epoch
+            ).cache()
+            deltas: dict = {
+                "frontier": Patch(sub_after)
+                if frontier_commit == "patch"
+                else Append(sub_after, remove_keys=Append.SAME)
+            }
+            stats_row = self._incremental_stats(
+                parent_counters, sub_before, sub_after, frontier
+            )
+        else:
+            deltas = {"frontier": touched}
+            stats_row = agg.frontier_stats(frontier).collect()[0].asDict()
         snap = self.store.commit(
             {
                 "frontier": frontier,
@@ -642,10 +712,49 @@ class RoundEngine:
                 "n_reaped": n_reaped,
                 **stats_row,
             },
-            deltas={"frontier": frontier_delta},
+            deltas=deltas,
         )
         claims.unpersist()
         workers.unpersist()
+        for cached in (sub_before, sub_after):
+            if cached is not None:
+                cached.unpersist()
         if completions is not None:
             completions.unpersist()
         return RoundResult(snap, n_claims, n_completed, n_reaped, stats_row)
+
+    _STATS_COUNT_KEYS = (
+        "total_jobs",
+        "completed_jobs",
+        "open_cpu_jobs",
+        "open_gpu_jobs",
+        "pending_jobs",
+    )
+
+    def _incremental_stats(
+        self,
+        parent_counters: dict,
+        sub_before: DataFrame,
+        sub_after: DataFrame,
+        frontier: DataFrame,
+    ) -> dict:
+        """Dashboard stats without the full-frontier scan: parent counts
+        drift by (touched rows after − before). Exact — transitions never
+        add or remove frontier rows, so every count change is confined to
+        the touched subset. Falls back to one full aggregate when the
+        parent manifest predates stats-carrying or was compacted from an
+        older layout."""
+        if not all(k in parent_counters for k in self._STATS_COUNT_KEYS):
+            return agg.frontier_stats(frontier).collect()[0].asDict()
+        before = agg.frontier_stats(sub_before).collect()[0].asDict()
+        after = agg.frontier_stats(sub_after).collect()[0].asDict()
+        out = {
+            k: parent_counters[k] + after[k] - before[k]
+            for k in self._STATS_COUNT_KEYS
+        }
+        out["completion_pct"] = (
+            out["completed_jobs"] * 100.0 / out["total_jobs"]
+            if out["total_jobs"] > 0
+            else 100.0
+        )
+        return out

@@ -79,12 +79,46 @@ class Append:
         self.remove_keys = remove_keys
 
 
+class Patch:
+    """Merge-on-read delta sentinel: the commit writes ONLY ``df``'s rows
+    (plus optional ``remove_keys``) as a *delta layer* on top of the
+    parent's buckets; reads reconstruct base ∓ layers. This is Iceberg's
+    merge-on-read model, and the only commit shape whose cost is flat in
+    TABLE size for a fixed transition batch: bucket-granular deltas
+    (key-delta or :class:`Append`) rewrite every touched bucket, and a
+    uniformly-hashed batch of ≳3×n_buckets keys touches ALL buckets — a
+    100k-claim round over a 10^10-row frontier would rewrite the whole
+    table either way. A Patch commit writes O(batch) bytes regardless.
+
+    Semantics (replace/delete only — the frontier-transition contract):
+      - ``df`` rows REPLACE the current row with the same key (first
+        column; every key must exist in the table);
+      - ``remove_keys`` (optional, first column = key) DELETE rows; a key
+        must not appear in both.
+
+    Reads pay the reconstruction (one window over the layers' rows + an
+    anti-join against the base); the chain is bounded by the store's
+    ``patch_layers_max`` — a Patch commit that would exceed it folds the
+    table (full rewrite from the caller's ``tables`` plan, layers
+    cleared), so amortized commit cost stays O(delta). Mixing
+    bucket-granular deltas into a table with live layers is refused
+    (bucket inheritance cannot see layer rows)."""
+
+    def __init__(self, df: DataFrame, remove_keys: DataFrame | None = None):
+        self.df = df
+        self.remove_keys = remove_keys
+
+
 class CheckpointStore:
     """Single-writer, snapshot-isolated table store with lineage."""
 
-    def __init__(self, root: str, n_partitions: int = 8):
+    def __init__(self, root: str, n_partitions: int = 8, patch_layers_max: int = 16):
         self.root = root
         self.n_partitions = n_partitions
+        #: merge-on-read chain bound: a Patch commit that would create
+        #: layer patch_layers_max+1 folds the table instead (full rewrite,
+        #: amortized O(1) per round like the filter capacity rebuilds)
+        self.patch_layers_max = patch_layers_max
         os.makedirs(root, exist_ok=True)
         # Reopening an existing store adopts the latest manifest's bucket
         # count (it may have been re-bucketed by compact()); the ctor arg
@@ -204,12 +238,72 @@ class CheckpointStore:
         for name, df in tables.items():
             key = df.columns[0]
             delta = deltas.get(name)
-            parent_parts: dict[str, Any] = (
-                parent_tables.get(name, {}).get("partitions", {}) if parent_tables else {}
-            )
+            parent_meta_t = parent_tables.get(name, {}) if parent_tables else {}
+            parent_parts: dict[str, Any] = parent_meta_t.get("partitions", {})
+            parent_layers: list = list(parent_meta_t.get("delta_layers", []))
+            layers: list = []
+            total_override: int | None = None
+
+            if isinstance(delta, Patch):
+                if name not in parent_tables:
+                    raise ValueError(
+                        f"Patch delta for '{name}' needs a parent table entry "
+                        "(merge-on-read layers patch EXISTING content)"
+                    )
+                if len(parent_layers) >= self.patch_layers_max:
+                    delta = None  # fold: full rewrite clears the chain
+            elif (
+                parent_layers
+                and delta is not None
+                and delta is not UNCHANGED
+            ):
+                raise ValueError(
+                    f"table '{name}' has {len(parent_layers)} live merge-on-read "
+                    "layers; bucket-granular deltas cannot see layer rows — "
+                    "commit a Patch, UNCHANGED, or a full rewrite"
+                )
 
             if delta is UNCHANGED and name in parent_tables:
                 partitions = dict(parent_parts)
+                layers = parent_layers
+                total_override = parent_meta_t.get("total_rows")
+            elif isinstance(delta, Patch):
+                # merge-on-read: write ONLY the delta rows (+ tombstones)
+                # as a new layer; base buckets are inherited verbatim.
+                # Commit cost is O(delta) regardless of table size.
+                spark = delta.df.sparkSession
+                _delta_key_col(delta.df, key)
+                layer_dir = os.path.join(snap_dir, name, "__layer")
+                rows_path = os.path.join(layer_dir, "rows")
+                delta.df.select(*df.columns).write.mode("overwrite").parquet(rows_path)
+                n_rows = spark.read.schema(df.schema).parquet(rows_path).count()
+                remove_path, n_removed = None, 0
+                if delta.remove_keys is not None:
+                    rk_col = _delta_key_col(delta.remove_keys, key)
+                    remove_path = os.path.join(layer_dir, "removed")
+                    delta.remove_keys.select(
+                        F.col(rk_col).alias(key)
+                    ).dropDuplicates([key]).write.mode("overwrite").parquet(remove_path)
+                    n_removed = (
+                        spark.read.schema(f"{key} {df.schema[key].dataType.simpleString()}")
+                        .parquet(remove_path)
+                        .count()
+                    )
+                partitions = dict(parent_parts)
+                layers = parent_layers
+                if n_rows or n_removed:
+                    layers = parent_layers + [
+                        {
+                            "rows_path": rows_path if n_rows else None,
+                            "rows": n_rows,
+                            "remove_path": remove_path,
+                            "n_removed": n_removed,
+                            "written_by": snap_id,
+                        }
+                    ]
+                # replace/delete-only contract: every patched key exists,
+                # so the row count drifts only by the deletions
+                total_override = parent_meta_t["total_rows"] - n_removed
             else:
                 if delta is not None and delta is not UNCHANGED and name in parent_tables:
                     if isinstance(delta, Append):
@@ -305,7 +399,12 @@ class CheckpointStore:
             table_meta[name] = {
                 "partition_key": key,
                 "partitions": partitions,
-                "total_rows": sum(p["rows"] for p in partitions.values()),
+                "delta_layers": layers,
+                "total_rows": (
+                    total_override
+                    if total_override is not None
+                    else sum(p["rows"] for p in partitions.values())
+                ),
                 # schema pinned in the manifest so empty tables (zero parquet
                 # files under partitionBy) reconstruct exactly on read
                 "schema_json": df.schema.json(),
@@ -335,19 +434,109 @@ class CheckpointStore:
         if snap_id is None:
             raise FileNotFoundError(f"no snapshots in {self.root}")
         meta = self.read_manifest(snap_id)["tables"][name]
-        from pyspark.sql import types as T
-
-        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
         paths = [
             p["path"]
             for p in meta["partitions"].values()
             if p["path"] is not None and p["rows"] > 0
         ]
-        if not paths:
-            return spark.createDataFrame([], schema=schema)
-        return spark.read.schema(schema).parquet(*paths).select(
-            *[f.name for f in schema.fields]
+        return self._reconstruct(spark, meta, paths)
+
+    def _reconstruct(
+        self, spark: SparkSession, meta: dict[str, Any], base_paths: list[str]
+    ) -> DataFrame:
+        """Base buckets ∓ merge-on-read layers → current table content.
+
+        Layer rows are per-round transition batches (small); the
+        reconstruction is one window over their union (latest layer wins
+        per key; a replacement beats a tombstone within its layer) plus
+        one anti-join against the base — read amplification bounded by
+        ``patch_layers_max`` and cleared by fold/compaction."""
+        from pyspark.sql import Window
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        cols = [f.name for f in schema.fields]
+        base = (
+            spark.read.schema(schema).parquet(*base_paths).select(*cols)
+            if base_paths
+            else spark.createDataFrame([], schema=schema)
         )
+        layers = meta.get("delta_layers") or []
+        if not layers:
+            return base
+        key = meta["partition_key"]
+        acts: DataFrame | None = None
+        for i, ly in enumerate(layers):
+            parts = []
+            if ly["rows"] > 0:
+                parts.append(
+                    spark.read.schema(schema)
+                    .parquet(ly["rows_path"])
+                    .select(*cols)
+                    .withColumn("__del", F.lit(False))
+                )
+            if ly.get("n_removed"):
+                tomb = spark.read.parquet(ly["remove_path"]).select(
+                    *[
+                        F.col(key).alias(f.name)
+                        if f.name == key
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in schema.fields
+                    ]
+                )
+                parts.append(tomb.withColumn("__del", F.lit(True)))
+            for p in parts:
+                p = p.withColumn("__ly", F.lit(i))
+                acts = p if acts is None else acts.unionByName(p)
+        w = Window.partitionBy(key).orderBy(F.desc("__ly"), F.asc("__del"))
+        latest = (
+            acts.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & ~F.col("__del"))
+            .select(*cols)
+        )
+        touched = acts.select(key).distinct()
+        return base.join(touched, on=key, how="left_anti").unionByName(latest)
+
+    def read_buckets(
+        self,
+        spark: SparkSession,
+        name: str,
+        keys: DataFrame,
+        snap_id: int | None = None,
+    ) -> DataFrame:
+        """Read ONLY the bucket dirs of ``name`` that ``keys`` (first
+        column = table-key values, hashed with the manifest's bucket
+        count) land in — the O(touched-buckets) point-read backing
+        RoundEngine's Append commits: a transition round reads the rows
+        it will modify without scanning the (at-scale, enormous)
+        remainder. Rows of OTHER keys sharing those buckets are included;
+        callers semi-join down to the key set as needed."""
+        snap_id = snap_id if snap_id is not None else self.latest_snapshot_id()
+        if snap_id is None:
+            raise FileNotFoundError(f"no snapshots in {self.root}")
+        m = self.read_manifest(snap_id)
+        meta = m["tables"][name]
+        eff_parts = m.get("n_partitions", self.n_partitions)
+        buckets = sorted(
+            r[0]
+            for r in keys.select(
+                self._bucket(F.col(keys.columns[0]), eff_parts).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        paths = [
+            meta["partitions"][str(b)]["path"]
+            for b in buckets
+            if str(b) in meta["partitions"]
+            and meta["partitions"][str(b)]["path"] is not None
+            and meta["partitions"][str(b)]["rows"] > 0
+        ]
+        # merge-on-read layers apply on top of the selected buckets (layer
+        # batches are small — no bucket pruning needed for them; rows
+        # outside the requested buckets are covered by the "other keys may
+        # be included" contract above)
+        return self._reconstruct(spark, meta, paths)
 
     # -- maintenance -----------------------------------------------------
 
@@ -407,6 +596,10 @@ class CheckpointStore:
                 for p in t["partitions"].values():
                     if p["path"]:
                         referenced.add(os.path.normpath(p["path"]))
+                for ly in t.get("delta_layers", []) or []:
+                    for lp in (ly.get("rows_path"), ly.get("remove_path")):
+                        if lp:
+                            referenced.add(os.path.normpath(lp))
         for sid in expired:
             os.remove(self._manifest_path(sid))
             sdir = os.path.join(self.root, f"s{sid:06d}")
@@ -416,10 +609,17 @@ class CheckpointStore:
                 tdir = os.path.join(sdir, tname)
                 for part in os.listdir(tdir):
                     pdir = os.path.normpath(os.path.join(tdir, part))
-                    if pdir.startswith("__part") is False and not part.startswith("__part"):
-                        continue
-                    if pdir not in referenced and part.startswith("__part"):
+                    if part.startswith("__part") and pdir not in referenced:
                         shutil.rmtree(pdir, ignore_errors=True)
+                    elif part == "__layer":
+                        # a layer dir survives while ANY surviving manifest
+                        # references one of its children (rows/removed)
+                        children = {
+                            os.path.normpath(os.path.join(pdir, c))
+                            for c in os.listdir(pdir)
+                        }
+                        if not children & referenced:
+                            shutil.rmtree(pdir, ignore_errors=True)
             # drop empty dirs
             for dirpath, dirnames, filenames in os.walk(sdir, topdown=False):
                 if not os.listdir(dirpath):

@@ -76,6 +76,77 @@ def test_resume_equals_uninterrupted(spark, tmp_path):
     assert state(store_a) == state(store_b)
 
 
+def test_frontier_append_commit_equals_rewrite(spark, tmp_path):
+    """r04 O(delta) frontier commits: the Patch (merge-on-read) and
+    Append (bucket-delta) paths — touched-bucket point-read + subset
+    transition re-apply + incremental stats — commit state identical to
+    the pre-r04 full-plan rewrite path, round by round, with completions,
+    reaping, and claims all in play."""
+    rb = datagen.robots(spark)
+
+    def drive(mode, root):
+        store = CheckpointStore(str(tmp_path / root), n_partitions=16)
+        eng = RoundEngine(spark, store, seed=5)
+        fr = dedup_by_number(datagen.frontier(spark, n=400))
+        wk = datagen.workers(spark)
+        eng.bootstrap(fr, wk, round_epoch=0)
+        stats = []
+        for ep in (1, 2, 3):
+            pending = store.read(spark, "frontier").filter(
+                "pending and not closed"
+            )
+            done = sorted(r["number"] for r in pending.collect())[::2]
+            comps = None
+            if done:
+                comps = spark.createDataFrame(
+                    [
+                        (n, f"uuid{n % 7}", f"w{n % 7}",
+                         "cpu" if n % 2 else "hybrid", 5,
+                         f"http://gpu/{n}" if n % 2 else None, 1000 + ep)
+                        for n in done
+                    ],
+                    schema=schemas.COMPLETIONS,
+                )
+            res = eng.run_round(
+                round_epoch=ep, completions=comps, robots=rb, frontier_commit=mode
+            )
+            stats.append((res.n_claims, res.n_completed, res.stats))
+        fr_rows = sorted(map(tuple, store.read(spark, "frontier").collect()))
+        return fr_rows, stats, store
+
+    rows_a, stats_a, store_a = drive("patch", "pt")
+    rows_b, stats_b, _ = drive("rewrite", "rw")
+    rows_c, stats_c, _ = drive("append", "ap")
+    assert rows_a == rows_b
+    assert stats_a == stats_b
+    assert rows_c == rows_b
+    assert stats_c == stats_b
+
+    # patch commits never rewrite base buckets: every frontier bucket of
+    # the last snapshot still carries the bootstrap's written_by, and the
+    # three rounds stacked three merge-on-read layers
+    last = store_a.latest_snapshot_id()
+    meta = store_a.read_manifest(last)["tables"]["frontier"]
+    assert all(p["written_by"] == 1 for p in meta["partitions"].values())
+    assert len(meta["delta_layers"]) == 3
+
+    # the append commit must inherit untouched buckets (O(delta) shape):
+    # a round claiming ~40 of 400 keys over 64 buckets leaves most
+    # buckets untouched — they must carry the bootstrap's written_by
+    store = CheckpointStore(str(tmp_path / "inherit"), n_partitions=64)
+    eng = RoundEngine(spark, store, seed=5, host_default_budget=1)
+    eng.bootstrap(
+        dedup_by_number(datagen.frontier(spark, n=400)),
+        datagen.workers(spark),
+        round_epoch=0,
+    )
+    eng.run_round(round_epoch=1, frontier_commit="append")
+    last = store.latest_snapshot_id()
+    parts = store.read_manifest(last)["tables"]["frontier"]["partitions"]
+    inherited = sum(1 for p in parts.values() if p["written_by"] < last)
+    assert inherited >= 16, parts
+
+
 def test_claim_sequence_matches_simulator(spark, tmp_path):
     """Crawl-ordering oracle: the Spark engine's claim set per round equals
     the pure-Python reference simulator under the same seed list +
@@ -360,6 +431,85 @@ def test_append_delta_commit(spark, tmp_path):
     )
     back2 = sorted(map(tuple, store.read(spark, "t", sid2).collect()))
     assert len(back2) == 504 and ("u505", 3) in back2 and ("u506", 3) in back2
+
+
+def test_patch_delta_commit(spark, tmp_path):
+    """Merge-on-read Patch commits: layers replace rows by key and delete
+    by tombstone without touching base buckets; reads reconstruct
+    (latest layer wins); the chain folds into a full rewrite at
+    patch_layers_max; expired snapshots keep referenced layers alive."""
+    from crawlingathome_server_spark.sources.checkpoint import Patch
+
+    store = CheckpointStore(str(tmp_path / "mor"), n_partitions=8, patch_layers_max=3)
+
+    def rows(lo, hi, epoch):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("u"), F.col("id")).alias("canon_url"),
+            F.lit(epoch).cast("long").alias("seen_epoch"),
+        )
+
+    base = rows(0, 300, 1)
+    store.commit({"t": base}, seed=1, round_epoch=0)
+
+    # layer 1: replace 40 keys; layer 2: replace 20 (10 overlapping) and
+    # delete 5 others — latest layer must win per key
+    sid1 = store.commit(
+        {"t": base}, seed=1, round_epoch=1, deltas={"t": Patch(rows(0, 40, 2))}
+    )
+    dead = spark.range(100, 105).select(F.concat(F.lit("u"), F.col("id")).alias("canon_url"))
+    sid2 = store.commit(
+        {"t": base}, seed=1, round_epoch=2,
+        deltas={"t": Patch(rows(30, 50, 3), remove_keys=dead)},
+    )
+    got = {r["canon_url"]: r["seen_epoch"] for r in store.read(spark, "t", sid2).collect()}
+    assert len(got) == 295
+    assert got["u0"] == 2 and got["u29"] == 2      # layer 1 only
+    assert got["u30"] == 3 and got["u49"] == 3     # layer 2 wins overlap
+    assert "u100" not in got and got["u105"] == 1  # tombstoned vs untouched
+    m2 = store.read_manifest(sid2)["tables"]["t"]
+    assert len(m2["delta_layers"]) == 2
+    assert all(p["written_by"] == 1 for p in m2["partitions"].values())
+    assert m2["total_rows"] == 295
+
+    # read_buckets reconstructs through layers too
+    probe = spark.createDataFrame([("u35",), ("u0",)], "canon_url string")
+    sub = {r["canon_url"]: r["seen_epoch"]
+           for r in store.read_buckets(spark, "t", probe).collect()}
+    assert sub["u35"] == 3 and sub["u0"] == 2
+
+    # bucket-granular deltas on a layered table must be refused
+    with pytest.raises(ValueError, match="merge-on-read"):
+        store.commit(
+            {"t": base}, seed=1, round_epoch=3,
+            deltas={"t": probe.select(F.col("canon_url"))},
+        )
+
+    # third layer hits patch_layers_max... the NEXT patch folds: content
+    # comes from the tables plan, layers clear, buckets rewrite
+    want = store.read(spark, "t", sid2)
+    sid3 = store.commit(
+        {"t": want}, seed=1, round_epoch=3, deltas={"t": Patch(rows(200, 210, 4))}
+    )
+    assert len(store.read_manifest(sid3)["tables"]["t"]["delta_layers"]) == 3
+    new5 = rows(210, 220, 5)
+    current = (
+        store.read(spark, "t", sid3)
+        .join(new5.select("canon_url"), "canon_url", "left_anti")
+        .unionByName(new5)
+    )  # caller contract: the tables plan IS parent ∓ delta
+    sid4 = store.commit(
+        {"t": current}, seed=1, round_epoch=4, deltas={"t": Patch(new5)}
+    )
+    m4 = store.read_manifest(sid4)["tables"]["t"]
+    assert m4["delta_layers"] == []  # folded
+    assert all(p["written_by"] == sid4 for p in m4["partitions"].values() if p["path"])
+    got4 = {r["canon_url"]: r["seen_epoch"] for r in store.read(spark, "t", sid4).collect()}
+    assert len(got4) == 295 and got4["u205"] == 4 and got4["u215"] == 5
+
+    # expire: surviving manifests reference sid1/sid2's layers — they live
+    want_rows = sorted(map(tuple, store.read(spark, "t", sid3).collect()))
+    store.expire_snapshots(keep_last=2)  # keeps sid3, sid4
+    assert sorted(map(tuple, store.read(spark, "t", sid3).collect())) == want_rows
 
 
 def test_delta_key_column_order_mismatch_fails_loud(spark, tmp_path):
