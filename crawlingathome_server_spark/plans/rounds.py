@@ -368,9 +368,12 @@ class CrawlEngine:
         *,
         round_epoch: int,
         robots: DataFrame | None = None,
+        extra_counters: dict | None = None,
     ) -> DataFrame:
         """One crawl round: returns the claimed (scheduled) URL set and
-        commits S_{k+1} = (seen − expired) ∪ claimed + updated filter."""
+        commits S_{k+1} = (seen − expired) ∪ claimed + updated filter.
+        ``extra_counters`` ride into the manifest (e.g. the streaming
+        driver's batch id for exactly-once replay skipping)."""
         spark, store = self.spark, self.store
         snap = store.latest_snapshot_id()
         counters = store.read_manifest(snap)["counters"]
@@ -482,6 +485,7 @@ class CrawlEngine:
                     "n_expired": n_expired,
                     "crawl_capacity": capacity,
                     "urlseen_params": params,
+                    **(extra_counters or {}),
                 },
                 deltas=deltas,
             )

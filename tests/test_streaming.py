@@ -245,3 +245,53 @@ def test_counter_refresh_streaming_mode(spark, tmp_path):
         assert want <= got, got
     finally:
         q.stop()
+
+
+def test_crawl_stream_two_batches_equals_two_rounds(spark, tmp_path):
+    """r04 streaming crawl wiring: two micro-batches through
+    run_crawl_stream — WITH a stop/restart between them (checkpoint
+    resume) — commit exactly the state of two batch-mode CrawlEngine
+    rounds: same per-round claim counts, same final seen-set."""
+    from crawlingathome_server_spark import datagen
+    from crawlingathome_server_spark.plans.rounds import CrawlEngine
+    from crawlingathome_server_spark.sources.checkpoint import CheckpointStore
+    from crawlingathome_server_spark.streaming.crawl import run_crawl_stream
+
+    pages1 = datagen.pages(spark, seed=61, n=300)
+    pages2 = datagen.pages(spark, seed=62, n=300)
+
+    # batch reference: two rounds
+    store_b = CheckpointStore(str(tmp_path / "batch"), n_partitions=4)
+    eng_b = CrawlEngine(spark, store_b, seed=5, default_budget=1 << 20)
+    eng_b.bootstrap()
+    eng_b.run_round(pages1, round_epoch=1)
+    eng_b.run_round(pages2, round_epoch=2)
+
+    def claims_per_round(store):
+        return [
+            m["counters"]["n_claimed"]
+            for m in reversed(store.lineage())
+            if "n_claimed" in m.get("counters", {})
+        ]
+
+    # streaming: batch 1, drain, STOP; add batch 2; restart from checkpoint
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    store_s = CheckpointStore(str(tmp_path / "stream"), n_partitions=4)
+    eng_s = CrawlEngine(spark, store_s, seed=5, default_budget=1 << 20)
+    eng_s.bootstrap()
+    pages1.coalesce(1).write.mode("append").parquet(src)
+    q1 = run_crawl_stream(spark, eng_s, src, ckpt)
+    assert q1.awaitTermination(180)
+    assert claims_per_round(store_s) == claims_per_round(store_b)[:1]
+
+    pages2.coalesce(1).write.mode("append").parquet(src)
+    q2 = run_crawl_stream(spark, eng_s, src, ckpt)
+    assert q2.awaitTermination(180)
+
+    assert claims_per_round(store_s) == claims_per_round(store_b)
+    seen_b = sorted(r["canon_url"] for r in store_b.read(spark, "seen_urls").collect())
+    seen_s = sorted(r["canon_url"] for r in store_s.read(spark, "seen_urls").collect())
+    assert seen_s == seen_b and len(seen_s) > 0
+    # the stream rounds recorded their batch ids (exactly-once bookkeeping)
+    last = store_s.read_manifest(store_s.latest_snapshot_id())["counters"]
+    assert last["stream_batch_id"] == 1
