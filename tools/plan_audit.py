@@ -28,7 +28,7 @@ AUDIT = [
     ("f9_url_canonicalize", "q", "pure JVM projection — zero shuffle"),
     ("t_curation_pipeline", "q", "filter → hash dedup → keeper join"),
     ("flagship expand_frontier (robots)", "flagship", "Python-free end-to-end (plan-asserted); robots broadcast; salted two-phase claim"),
-    ("expand_frontier follow_links", "follow_links", "JVM href extraction → explode → canonicalize → claim; Python-free (r03)"),
+    ("expand_frontier follow_links", "follow_links", "JVM href extraction → explode → relative-href resolution (r04, builtin aggregate fold) → canonicalize → claim; Python-free"),
     ("claim_batch column-budget 2M", "budgeted", "salted two-phase rank (two Window phases, plan-asserted in bench.py)"),
     ("extract_text_jvm", "extract_jvm", "pure JVM projection — zero shuffle, zero Python"),
     ("cuckoo probe 100k", "cuckoo_probe", "cogroup by bucket — table crosses Python once per bucket, like the bloom probe"),
