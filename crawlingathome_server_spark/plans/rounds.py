@@ -518,6 +518,21 @@ class RoundResult:
 class RoundEngine:
     """Drives frontier snapshots through scheduling rounds (E1+E2+E3)."""
 
+    #: the frontier columns transitions can mutate (U1-U8 + apply_claims);
+    #: everything else — number, url, host, priority, shard bounds — is
+    #: immutable after seed load, which is what makes the column-granular
+    #: Patch commit exact: a layer's (key, state-vector) fully describes
+    #: the round's effect on a row.
+    FRONTIER_STATE_COLS = (
+        "pending",
+        "closed",
+        "gpu",
+        "gpu_url",
+        "completor",
+        "cpu_completor",
+        "claim_epoch",
+    )
+
     def __init__(
         self,
         spark: SparkSession,
@@ -676,10 +691,20 @@ class RoundEngine:
             # merges only alter rows matching their delta keys, so the
             # subset transform equals the full-plan transform restricted
             # to those keys (pytest-asserted vs the rewrite path).
+            # Patch mode is COLUMN-granular (r04): transitions only ever
+            # touch the mutable state columns, so the point-read prunes
+            # to (number + state) at the parquet scan — the immutable
+            # url/host payload never rides the commit path — and the
+            # layer write carries only those columns.
             from ..sources.checkpoint import Append, Patch
 
+            narrow = (
+                ("number", *self.FRONTIER_STATE_COLS)
+                if frontier_commit == "patch"
+                else None
+            )
             sub_before = (
-                self.store.read_buckets(spark, "frontier", touched)
+                self.store.read_buckets(spark, "frontier", touched, columns=narrow)
                 .join(F.broadcast(touched), on="number", how="left_semi")
                 .cache()
             )
@@ -691,7 +716,7 @@ class RoundEngine:
                 sub_after, claims, round_epoch=round_epoch
             ).cache()
             deltas: dict = {
-                "frontier": Patch(sub_after)
+                "frontier": Patch(sub_after, columns=self.FRONTIER_STATE_COLS)
                 if frontier_commit == "patch"
                 else Append(sub_after, remove_keys=Append.SAME)
             }

@@ -38,6 +38,12 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+
+def T_struct(fields):
+    from pyspark.sql import types as T
+
+    return T.StructType(list(fields))
+
 ICEBERG_AVAILABLE = False
 try:  # pragma: no cover - sandbox has no iceberg jar
     import importlib.util
@@ -102,11 +108,28 @@ class Patch:
     table (full rewrite from the caller's ``tables`` plan, layers
     cleared), so amortized commit cost stays O(delta). Mixing
     bucket-granular deltas into a table with live layers is refused
-    (bucket inheritance cannot see layer rows)."""
+    (bucket inheritance cannot see layer rows).
 
-    def __init__(self, df: DataFrame, remove_keys: DataFrame | None = None):
+    ``columns`` (optional) makes the layer COLUMN-granular: ``df``
+    carries only (key, *columns) and reconstruction overwrites exactly
+    those columns of the matched base row (the latest layer's full
+    column-vector wins per key). For a wide table whose transitions only
+    touch a few state columns — the frontier's (pending, closed, …)
+    against its immutable url/host payload — this shrinks layer bytes by
+    the payload fraction AND lets the touched-row point-read prune to a
+    narrow projection at the parquet scan. Every layer of a chain must
+    use the same ``columns`` value (commit refuses a mismatch; fold
+    first)."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        remove_keys: DataFrame | None = None,
+        columns: tuple[str, ...] | list[str] | None = None,
+    ):
         self.df = df
         self.remove_keys = remove_keys
+        self.columns = list(columns) if columns is not None else None
 
 
 class CheckpointStore:
@@ -250,6 +273,16 @@ class CheckpointStore:
                         f"Patch delta for '{name}' needs a parent table entry "
                         "(merge-on-read layers patch EXISTING content)"
                     )
+                if parent_layers:
+                    have = parent_layers[0].get("columns")
+                    want = delta.columns
+                    if (have or None) != (want or None):
+                        raise ValueError(
+                            f"table '{name}' has {'column' if have else 'row'}-"
+                            f"granular layers ({have}); a Patch with "
+                            f"columns={want} cannot stack on them — fold "
+                            "(full rewrite / compact) first"
+                        )
                 if len(parent_layers) >= self.patch_layers_max:
                     delta = None  # fold: full rewrite clears the chain
             elif (
@@ -275,8 +308,19 @@ class CheckpointStore:
                 _delta_key_col(delta.df, key)
                 layer_dir = os.path.join(snap_dir, name, "__layer")
                 rows_path = os.path.join(layer_dir, "rows")
-                delta.df.select(*df.columns).write.mode("overwrite").parquet(rows_path)
-                n_rows = spark.read.schema(df.schema).parquet(rows_path).count()
+                if delta.columns:
+                    missing = [c for c in delta.columns if c not in df.columns]
+                    if missing or key in delta.columns:
+                        raise ValueError(
+                            f"Patch columns must be non-key table columns of "
+                            f"'{name}': bad {missing or [key]}"
+                        )
+                    layer_cols = [key, *delta.columns]
+                else:
+                    layer_cols = list(df.columns)
+                layer_schema = T_struct([df.schema[c] for c in layer_cols])
+                delta.df.select(*layer_cols).write.mode("overwrite").parquet(rows_path)
+                n_rows = spark.read.schema(layer_schema).parquet(rows_path).count()
                 remove_path, n_removed = None, 0
                 if delta.remove_keys is not None:
                     rk_col = _delta_key_col(delta.remove_keys, key)
@@ -298,6 +342,7 @@ class CheckpointStore:
                             "rows": n_rows,
                             "remove_path": remove_path,
                             "n_removed": n_removed,
+                            "columns": delta.columns,
                             "written_by": snap_id,
                         }
                     ]
@@ -465,14 +510,17 @@ class CheckpointStore:
         if not layers:
             return base
         key = meta["partition_key"]
+        pcols = layers[0].get("columns")  # same across the chain (enforced)
+        layer_cols = [key, *pcols] if pcols else cols
+        layer_schema = T_struct([schema[c] for c in layer_cols])
         acts: DataFrame | None = None
         for i, ly in enumerate(layers):
             parts = []
             if ly["rows"] > 0:
                 parts.append(
-                    spark.read.schema(schema)
+                    spark.read.schema(layer_schema)
                     .parquet(ly["rows_path"])
-                    .select(*cols)
+                    .select(*layer_cols)
                     .withColumn("__del", F.lit(False))
                 )
             if ly.get("n_removed"):
@@ -481,7 +529,7 @@ class CheckpointStore:
                         F.col(key).alias(f.name)
                         if f.name == key
                         else F.lit(None).cast(f.dataType).alias(f.name)
-                        for f in schema.fields
+                        for f in layer_schema.fields
                     ]
                 )
                 parts.append(tomb.withColumn("__del", F.lit(True)))
@@ -491,11 +539,36 @@ class CheckpointStore:
         w = Window.partitionBy(key).orderBy(F.desc("__ly"), F.asc("__del"))
         latest = (
             acts.withColumn("__rn", F.row_number().over(w))
-            .filter((F.col("__rn") == 1) & ~F.col("__del"))
-            .select(*cols)
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__ly")
         )
-        touched = acts.select(key).distinct()
-        return base.join(touched, on=key, how="left_anti").unionByName(latest)
+        if not pcols:
+            alive = latest.filter(~F.col("__del")).select(*cols)
+            touched = acts.select(key).distinct()
+            return base.join(touched, on=key, how="left_anti").unionByName(alive)
+        # column-granular: overwrite exactly pcols of the matched base row
+        # with the latest layer's column-vector; tombstoned keys drop. One
+        # left join (layer union is small → broadcast-able); base payload
+        # columns never leave the scan untouched, so Catalyst column
+        # pruning still reaches the parquet reader for narrow consumers.
+        lt = latest.select(
+            F.col(key).alias("__k"),
+            "__del",
+            *[F.col(c).alias(f"__p_{c}") for c in pcols],
+        )
+        joined = base.join(lt, base[key] == lt["__k"], "left")
+        hit = F.col("__k").isNotNull()
+        out_cols = []
+        for f in schema.fields:
+            if f.name in pcols:
+                out_cols.append(
+                    F.when(hit, F.col(f"__p_{f.name}")).otherwise(base[f.name]).alias(f.name)
+                )
+            else:
+                out_cols.append(base[f.name])
+        return joined.filter(
+            F.coalesce(~F.col("__del"), F.lit(True))
+        ).select(*out_cols)
 
     def read_buckets(
         self,
@@ -503,6 +576,7 @@ class CheckpointStore:
         name: str,
         keys: DataFrame,
         snap_id: int | None = None,
+        columns: tuple[str, ...] | list[str] | None = None,
     ) -> DataFrame:
         """Read ONLY the bucket dirs of ``name`` that ``keys`` (first
         column = table-key values, hashed with the manifest's bucket
@@ -535,8 +609,12 @@ class CheckpointStore:
         # merge-on-read layers apply on top of the selected buckets (layer
         # batches are small — no bucket pruning needed for them; rows
         # outside the requested buckets are covered by the "other keys may
-        # be included" contract above)
-        return self._reconstruct(spark, meta, paths)
+        # be included" contract above). ``columns`` narrows the result —
+        # Catalyst pushes the projection through the reconstruction down
+        # to the parquet scan, so a state-columns-only caller never reads
+        # the wide payload bytes at all.
+        out = self._reconstruct(spark, meta, paths)
+        return out.select(*columns) if columns is not None else out
 
     # -- maintenance -----------------------------------------------------
 

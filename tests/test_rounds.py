@@ -512,6 +512,78 @@ def test_patch_delta_commit(spark, tmp_path):
     assert sorted(map(tuple, store.read(spark, "t", sid3).collect())) == want_rows
 
 
+def test_patch_column_granular(spark, tmp_path):
+    """Column-granular Patch layers: a layer carries (key, state columns)
+    only; reconstruction overwrites exactly those columns of the matched
+    base rows (latest layer's column-vector wins, NULL state values
+    included); payload columns pass through; tombstones drop rows;
+    chains of mismatched granularity are refused; and a narrow
+    read_buckets prunes the base parquet scan to the requested columns."""
+    from crawlingathome_server_spark.sources.checkpoint import Patch
+
+    store = CheckpointStore(str(tmp_path / "colmor"), n_partitions=8)
+    base = spark.range(0, 200).select(
+        F.col("id").alias("number"),
+        F.concat(F.lit("http://payload/"), F.col("id")).alias("url"),
+        F.lit(False).alias("pending"),
+        F.lit(None).cast("string").alias("completor"),
+    )
+    store.commit({"t": base}, seed=1, round_epoch=0)
+
+    def patch_rows(lo, hi, worker):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("number"),
+            F.lit(True).alias("pending"),
+            F.lit(worker).cast("string").alias("completor"),
+        )
+
+    sid1 = store.commit(
+        {"t": base}, seed=1, round_epoch=1,
+        deltas={"t": Patch(patch_rows(0, 30, "w1"), columns=("pending", "completor"))},
+    )
+    # layer 2 overlaps 20-29 and releases them (pending back to false,
+    # completor to NULL — the null must WIN, not fall back to w1)
+    rel = spark.range(20, 40).select(
+        F.col("id").alias("number"),
+        F.lit(False).alias("pending"),
+        F.lit(None).cast("string").alias("completor"),
+    )
+    sid2 = store.commit(
+        {"t": base}, seed=1, round_epoch=2,
+        deltas={"t": Patch(rel, columns=("pending", "completor"))},
+    )
+    got = {r["number"]: r for r in store.read(spark, "t", sid2).collect()}
+    assert len(got) == 200
+    assert got[5]["pending"] is True and got[5]["completor"] == "w1"
+    assert got[25]["pending"] is False and got[25]["completor"] is None
+    assert got[35]["pending"] is False and got[50]["pending"] is False
+    assert all(got[i]["url"] == f"http://payload/{i}" for i in (5, 25, 100))
+    m = store.read_manifest(sid2)["tables"]["t"]
+    assert m["delta_layers"][0]["columns"] == ["pending", "completor"]
+
+    # layer bytes: only key+state columns are in the layer parquet
+    lp = m["delta_layers"][0]["rows_path"]
+    assert sorted(spark.read.parquet(lp).columns) == ["completor", "number", "pending"]
+
+    # granularity mismatch refused (row-granular atop column-granular)
+    with pytest.raises(ValueError, match="fold"):
+        store.commit(
+            {"t": base}, seed=1, round_epoch=3, deltas={"t": Patch(base.limit(3))}
+        )
+
+    # narrow read_buckets prunes the BASE parquet scan to the requested
+    # columns (the wide url payload never leaves the reader)
+    probe = spark.createDataFrame([(5,), (25,)], "number long")
+    sub = store.read_buckets(spark, "t", probe, columns=("number", "pending"))
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    scans = _re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert scans and all("url" not in s for s in scans), plan
+    got_sub = {r["number"]: r["pending"] for r in sub.collect()}
+    assert got_sub[5] is True and got_sub[25] is False
+
+
 def test_delta_key_column_order_mismatch_fails_loud(spark, tmp_path):
     """A delta df that carries the table key BY NAME but not FIRST would
     derive changed buckets over the wrong column while rows partition by
