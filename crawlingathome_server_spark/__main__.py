@@ -42,6 +42,14 @@ def main(argv: list[str] | None = None) -> int:
         help="jobs = shard-scheduling rounds (RoundEngine); "
         "crawl = URL-frontier rounds with persisted seen-set (CrawlEngine)",
     )
+    ap.add_argument(
+        "--frontier-commit",
+        choices=["patch", "append", "rewrite"],
+        default="patch",
+        help="jobs-mode frontier commit: patch = column-granular "
+        "merge-on-read layers (O(delta), default); append = bucket-delta; "
+        "rewrite = full-plan (the equivalence oracle)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -102,7 +110,11 @@ def main(argv: list[str] | None = None) -> int:
     robots = datagen.robots(spark)
     base = store.read_manifest(store.latest_snapshot_id())["round_epoch"]
     for k in range(args.rounds):
-        res = engine.run_round(round_epoch=base + (k + 1) * 300, robots=robots)
+        res = engine.run_round(
+            round_epoch=base + (k + 1) * 300,
+            robots=robots,
+            frontier_commit=args.frontier_commit,
+        )
         print(
             json.dumps(
                 {
