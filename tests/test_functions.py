@@ -220,6 +220,59 @@ def test_resolve_url_jvm_python_parity(spark):
         )
 
 
+def test_resolve_url_randomized_fuzz_vs_urljoin(spark):
+    """600 seeded pseudo-random (base, href) pairs across every href
+    shape the extractor can emit: resolve_url must agree with the stdlib
+    RFC resolver (except the documented interior-empty-segment case,
+    which urljoin collapses against RFC 3986 §5.2.4) AND the JVM
+    expression must agree with resolve_url byte-for-byte."""
+    import random
+    from urllib.parse import urljoin
+
+    from crawlingathome_server_spark.functions import urls as U
+
+    rng = random.Random(20260817)
+    segs = ["a", "bb", "Doc-1", "x_y", "über", "7", "idx.html", "..", "."]
+    hosts = ["h.com", "sub.ex.org", "H0.Example.com:8080"]
+
+    def rand_path(n):
+        return "/".join(rng.choice(segs) for _ in range(n))
+
+    def rand_base():
+        scheme = rng.choice(["http", "https"])
+        p = rand_path(rng.randint(0, 3))
+        q = "?b=2&a=1" if rng.random() < 0.3 else ""
+        return f"{scheme}://{rng.choice(hosts)}/{p}{q}" if p else f"{scheme}://{rng.choice(hosts)}{q}"
+
+    def rand_href():
+        kind = rng.random()
+        p = rand_path(rng.randint(1, 4))
+        q = "?q=1" if rng.random() < 0.3 else ""
+        if kind < 0.15:
+            return f"http://{rng.choice(hosts)}/{p}{q}"
+        if kind < 0.25:
+            return f"//{rng.choice(hosts)}/{p}{q}"
+        if kind < 0.45:
+            return f"/{p}{q}"
+        if kind < 0.55:
+            return f"./{p}{q}"
+        if kind < 0.7:
+            return f"../{p}{q}"
+        return f"{p}{q}"
+
+    cases = [(rand_base(), rand_href()) for _ in range(600)]
+    for base, href in cases:
+        got = U.resolve_url(base, href)
+        if "//" not in href.lstrip("/"):  # documented urljoin divergence
+            assert got == urljoin(base, href), (base, href, got, urljoin(base, href))
+    df = spark.createDataFrame(cases, "base string, href string")
+    rows = df.select(
+        "base", "href", U.resolve_url_expr(F.col("base"), F.col("href")).alias("jvm")
+    ).collect()
+    for r in rows:
+        assert r["jvm"] == U.resolve_url(r["base"], r["href"]), (r["base"], r["href"])
+
+
 def test_resolve_url_matches_urljoin():
     """The shared algorithm agrees with the stdlib RFC 3986 resolver on
     all standard cases (urljoin is the independent oracle here)."""
