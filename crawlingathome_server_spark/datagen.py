@@ -190,6 +190,11 @@ def gen_robots_pdf(seed: int = 17, n_hosts: int = 50) -> pd.DataFrame:
             "disallow_prefixes": [
                 ["/private", "/admin"] if i % 5 == 0 else [] for i in range(n_hosts)
             ],
+            # every other disallowing host carves a public subtree back
+            # out (REP longest-match: Allow beats the shorter Disallow)
+            "allow_prefixes": [
+                ["/private/pub"] if i % 10 == 0 else [] for i in range(n_hosts)
+            ],
         }
     )
 

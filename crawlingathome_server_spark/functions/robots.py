@@ -8,7 +8,11 @@ one host's file per row, numpy/C string ops inside, Arrow batches.
 
 Semantics (subset of REP, deterministic):
 - only the ``User-agent: *`` group is honored;
-- ``Disallow:`` paths collected (empty Disallow = allow all);
+- ``Disallow:`` / ``Allow:`` prefix rules collected (empty value = no
+  rule); per url the LONGEST matching rule wins, ties and no-match
+  default to allow — the REP precedence Googlebot documents (r04;
+  previously Disallow-only, which wrongly dropped carve-outs like
+  ``Allow: /private/public`` under ``Disallow: /private``);
 - ``Crawl-delay:`` seconds parsed (default 1.0);
 - budget = clamp(round_seconds / crawl_delay, 1, max_budget).
 """
@@ -26,15 +30,17 @@ _PARSED = T.StructType(
     [
         T.StructField("crawl_delay_s", T.DoubleType(), False),
         T.StructField("disallow_prefixes", T.ArrayType(T.StringType()), False),
+        T.StructField("allow_prefixes", T.ArrayType(T.StringType()), False),
     ]
 )
 
 
-def _parse_one(content: str | None) -> tuple[float, list[str]]:
+def _parse_one(content: str | None) -> tuple[float, list[str], list[str]]:
     if not content:
-        return (DEFAULT_CRAWL_DELAY_S, [])
+        return (DEFAULT_CRAWL_DELAY_S, [], [])
     delay = DEFAULT_CRAWL_DELAY_S
     disallow: list[str] = []
+    allow: list[str] = []
     in_star_group = False
     for line in content.splitlines():
         line = line.split("#", 1)[0].strip()
@@ -46,19 +52,47 @@ def _parse_one(content: str | None) -> tuple[float, list[str]]:
             in_star_group = val == "*"
         elif in_star_group and key == "disallow" and val:
             disallow.append(val)
+        elif in_star_group and key == "allow" and val:
+            allow.append(val)
         elif in_star_group and key == "crawl-delay":
             try:
                 delay = max(0.1, float(val))
             except ValueError:
                 pass
-    return (delay, sorted(set(disallow)))
+    return (delay, sorted(set(disallow)), sorted(set(allow)))
 
 
 @F.pandas_udf(_PARSED)
 def parse_robots_txt(contents: pd.Series) -> pd.DataFrame:
-    """Vectorized robots.txt → (crawl_delay_s, disallow_prefixes)."""
+    """Vectorized robots.txt → (crawl_delay_s, disallow, allow)."""
     parsed = [_parse_one(c) for c in contents]
-    return pd.DataFrame(parsed, columns=["crawl_delay_s", "disallow_prefixes"])
+    return pd.DataFrame(
+        parsed, columns=["crawl_delay_s", "disallow_prefixes", "allow_prefixes"]
+    )
+
+
+def longest_match_len(prefixes: Column, path: Column) -> Column:
+    """Length of the longest prefix in ``prefixes`` matching ``path``
+    (-1 when none match) — one builtin ``aggregate`` fold, codegen."""
+    return F.aggregate(
+        F.coalesce(prefixes, F.array().cast("array<string>")),
+        F.lit(-1),
+        lambda acc, p: F.when(
+            path.startswith(p) & (F.length(p) > acc), F.length(p)
+        ).otherwise(acc),
+    )
+
+
+def robots_disallowed(
+    path: Column, disallow_prefixes: Column, allow_prefixes: Column | None = None
+) -> Column:
+    """REP longest-match verdict: a url is disallowed iff its longest
+    matching Disallow rule is longer than its longest matching Allow
+    rule (ties and no-match → allowed)."""
+    dis = longest_match_len(disallow_prefixes, path)
+    if allow_prefixes is None:
+        return dis > F.lit(-1)
+    return dis > longest_match_len(allow_prefixes, path)
 
 
 def politeness_budget(
@@ -90,4 +124,5 @@ def robots_table(
             "max_claims_per_round"
         ),
         F.col("r.disallow_prefixes").alias("disallow_prefixes"),
+        F.col("r.allow_prefixes").alias("allow_prefixes"),
     )

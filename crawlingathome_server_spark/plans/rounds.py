@@ -95,26 +95,37 @@ def expand_frontier(
     )
 
     if robots is not None and "disallow_prefixes" in robots.columns:
-        # robots.txt Disallow rules: drop urls whose path starts with a
-        # disallowed prefix for their host. Broadcast dim join + one
-        # exists() over the (short) prefix array — stays in codegen.
-        rules = robots.select("host", "disallow_prefixes")
+        # robots.txt prefix rules with REP longest-match precedence
+        # (r04): a url is dropped iff its longest matching Disallow rule
+        # beats its longest matching Allow rule — so carve-outs like
+        # `Allow: /private/public` under `Disallow: /private` schedule
+        # correctly. Broadcast dim join + two builtin aggregate folds
+        # over the (short) prefix arrays — stays in codegen.
+        from ..functions.robots import robots_disallowed
+
+        has_allow = "allow_prefixes" in robots.columns
+        rules = robots.select(
+            "host",
+            "disallow_prefixes",
+            *(["allow_prefixes"] if has_allow else []),
+        )
         path = F.regexp_replace(F.col("canon_url"), r"^[a-z]+://[^/]+", "")
         canon = (
             canon.join(F.broadcast(rules), on="host", how="left")
             .withColumn(
                 "__disallowed",
-                F.when(
-                    F.col("disallow_prefixes").isNull(), F.lit(False)
-                ).otherwise(
-                    F.exists(
-                        F.col("disallow_prefixes"),
-                        lambda p: path.startswith(p),
-                    )
+                robots_disallowed(
+                    path,
+                    F.col("disallow_prefixes"),
+                    F.col("allow_prefixes") if has_allow else None,
                 ),
             )
             .filter(~F.col("__disallowed"))
-            .drop("disallow_prefixes", "__disallowed")
+            .drop(
+                "disallow_prefixes",
+                "__disallowed",
+                *(["allow_prefixes"] if has_allow else []),
+            )
         )
     # D1: exact dedup, deterministic first-wins (earliest warc_ts, then url)
     from pyspark.sql import Window

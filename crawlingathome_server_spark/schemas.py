@@ -64,6 +64,8 @@ ROBOTS = T.StructType(
         T.StructField("crawl_delay_s", T.DoubleType(), False),
         T.StructField("max_claims_per_round", T.IntegerType(), False),
         T.StructField("disallow_prefixes", T.ArrayType(T.StringType()), True),
+        # REP Allow carve-outs (r04) — longest-match wins vs disallow
+        T.StructField("allow_prefixes", T.ArrayType(T.StringType()), True),
     ]
 )
 

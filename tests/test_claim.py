@@ -109,7 +109,7 @@ def test_skew_phase1_bounds_per_task_rows(spark):
     )
     rb = datagen.robots(spark).union(
         spark.createDataFrame(
-            [("hot.example.com", 1.0, 3, [])],
+            [("hot.example.com", 1.0, 3, [], [])],
             datagen.robots(spark).schema,
         )
     )

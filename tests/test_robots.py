@@ -12,17 +12,19 @@ Disallow: /only-for-google
 User-agent: *
 Disallow: /private
 Disallow: /admin
+Allow: /private/pub
 Crawl-delay: 5
 """
 
 
 def test_parse_robots_pure():
-    delay, dis = rb._parse_one(SAMPLE)
+    delay, dis, alw = rb._parse_one(SAMPLE)
     assert delay == 5.0
     assert dis == ["/admin", "/private"]
-    assert rb._parse_one(None) == (1.0, [])
-    assert rb._parse_one("User-agent: *\nDisallow:") == (1.0, [])
-    assert rb._parse_one("User-agent: *\nCrawl-delay: bogus") == (1.0, [])
+    assert alw == ["/private/pub"]
+    assert rb._parse_one(None) == (1.0, [], [])
+    assert rb._parse_one("User-agent: *\nDisallow:") == (1.0, [], [])
+    assert rb._parse_one("User-agent: *\nCrawl-delay: bogus") == (1.0, [], [])
 
 
 def test_robots_table(spark):
@@ -34,8 +36,30 @@ def test_robots_table(spark):
     assert out["a.com"]["crawl_delay_s"] == 5.0
     assert out["a.com"]["max_claims_per_round"] == 6  # 30/5
     assert out["a.com"]["disallow_prefixes"] == ["/admin", "/private"]
+    assert out["a.com"]["allow_prefixes"] == ["/private/pub"]
     assert out["b.com"]["max_claims_per_round"] == 30  # default 1 s delay
     assert out["c.com"]["max_claims_per_round"] == 60
+
+
+def test_robots_longest_match_precedence(spark):
+    """REP verdicts: longest matching rule wins; ties and no-match allow."""
+    df = spark.createDataFrame(
+        [
+            ("/private/doc", ["/private"], ["/private/pub"]),     # dis wins
+            ("/private/pub/doc", ["/private"], ["/private/pub"]), # allow wins
+            ("/private", ["/private"], ["/private"]),             # tie -> allow
+            ("/open/doc", ["/private"], []),                      # no match
+            ("/admin/x", ["/admin", "/a"], None),                 # null allow
+        ],
+        "path string, dis array<string>, alw array<string>",
+    )
+    got = [
+        r["d"]
+        for r in df.select(
+            rb.robots_disallowed(F.col("path"), F.col("dis"), F.col("alw")).alias("d")
+        ).collect()
+    ]
+    assert got == [True, False, False, False, True]
 
 
 def test_robots_table_feeds_claim(spark):

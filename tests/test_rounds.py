@@ -336,6 +336,26 @@ def test_expand_frontier_respects_robots_disallow(spark):
     assert out.count() > 0
 
 
+def test_expand_frontier_robots_allow_carveout(spark):
+    """REP longest-match (r04): `Allow: /private/pub` under
+    `Disallow: /private` schedules the carve-out and still drops the
+    rest of /private."""
+    import datetime as dt
+
+    ts = dt.datetime(2020, 9, 13, tzinfo=dt.timezone.utc)
+    mk = lambda p: (f"http://host0000.example.com{p}", ts, b"<p>x</p>", "t", "en")
+    pages = spark.createDataFrame(
+        [mk("/private/pub/doc1"), mk("/private/secret/doc2"), mk("/p/open")],
+        schema=schemas.PAGES,
+    )
+    rb = datagen.robots(spark)  # host0000: disallow /private,/admin; allow /private/pub
+    got = sorted(r["canon_url"] for r in expand_frontier(pages, rb, seed=1).collect())
+    assert got == [
+        "http://host0000.example.com/p/open",
+        "http://host0000.example.com/private/pub/doc1",
+    ], got
+
+
 def test_delta_commit_inherits_unchanged_buckets(spark, tmp_path):
     """A round touching few keys rewrites only their hash buckets; the
     others are inherited by reference from the parent manifest — and the
