@@ -71,14 +71,36 @@ def parse_robots_txt(contents: pd.Series) -> pd.DataFrame:
     )
 
 
+def _rule_matches(rule: Column, path: Column) -> Column:
+    """Does one REP rule match ``path``? Rules are prefix patterns with
+    the RFC 9309 §2.2.3 special characters: ``*`` matches any run of
+    octets, a trailing ``$`` anchors the end. Plain rules (the vast
+    majority) stay on the fast ``startswith``; wildcard/anchored rules
+    translate to a Java regex per element (metachars escaped, ``*`` →
+    ``.*``) and match via ``regexp_like`` with a column pattern."""
+    plain = ~rule.contains("*") & ~rule.endswith("$")
+    anchored = rule.endswith("$")
+    body = F.when(anchored, F.substring(rule, 1, F.length(rule) - 1)).otherwise(rule)
+    esc = F.regexp_replace(body, r"([.\[\]{}()+?^$|\\])", r"\\$1")
+    pattern = F.concat(
+        F.lit("^"),
+        F.replace(esc, F.lit("*"), F.lit(".*")),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+    return F.when(plain, path.startswith(rule)).otherwise(
+        F.regexp_like(path, pattern)
+    )
+
+
 def longest_match_len(prefixes: Column, path: Column) -> Column:
-    """Length of the longest prefix in ``prefixes`` matching ``path``
-    (-1 when none match) — one builtin ``aggregate`` fold, codegen."""
+    """Specificity of the most specific rule in ``prefixes`` matching
+    ``path`` (-1 when none match), where specificity = rule octet length
+    (RFC 9309 §2.3.2's longest-match) — one builtin ``aggregate`` fold."""
     return F.aggregate(
         F.coalesce(prefixes, F.array().cast("array<string>")),
         F.lit(-1),
         lambda acc, p: F.when(
-            path.startswith(p) & (F.length(p) > acc), F.length(p)
+            _rule_matches(p, path) & (F.length(p) > acc), F.length(p)
         ).otherwise(acc),
     )
 

@@ -62,6 +62,33 @@ def test_robots_longest_match_precedence(spark):
     assert got == [True, False, False, False, True]
 
 
+def test_robots_wildcard_and_anchor_rules(spark):
+    """RFC 9309 §2.2.3 special characters: `*` spans octet runs, a
+    trailing `$` anchors; regex metacharacters in rules stay literal."""
+    cases = [
+        # (path, disallow, allow, expect_disallowed)
+        ("/a/doc.pdf", ["/*.pdf$"], [], True),
+        ("/a/doc.pdfx", ["/*.pdf$"], [], False),      # $ anchors
+        ("/a/x.pdf/view", ["/*.pdf$"], [], False),
+        ("/p/mid/end", ["/p/*/end"], [], True),
+        ("/p/mid/endx", ["/p/*/end"], [], True),      # no anchor: prefix-ish
+        ("/q/a+b(c)", ["/q/a+b(c)"], [], True),       # metachars literal
+        ("/files/sec.pdf", ["/*.pdf$"], ["/files/se"], False),  # longer allow wins
+        ("/x$/literal", ["/x$"], [], False),          # trailing $ never literal
+    ]
+    df = spark.createDataFrame(
+        [(p, d, a) for p, d, a, _ in cases],
+        "path string, dis array<string>, alw array<string>",
+    )
+    got = [
+        r["d"]
+        for r in df.select(
+            rb.robots_disallowed(F.col("path"), F.col("dis"), F.col("alw")).alias("d")
+        ).collect()
+    ]
+    assert got == [want for *_, want in cases], list(zip(cases, got))
+
+
 def test_robots_table_feeds_claim(spark):
     from crawlingathome_server_spark import datagen
     from crawlingathome_server_spark.operators import claim
