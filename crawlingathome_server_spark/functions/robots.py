@@ -6,14 +6,23 @@ archives, not live sites); this is our addition for the URL-frontier
 role. Parsing is a vectorized pandas UDF over raw robots.txt text —
 one host's file per row, numpy/C string ops inside, Arrow batches.
 
-Semantics (subset of REP, deterministic):
-- only the ``User-agent: *`` group is honored;
+Semantics (REP per RFC 9309, deterministic):
+- §2.2.1 group selection (r05): rules are parsed into *groups*; a group
+  is headed by one or more CONSECUTIVE ``User-agent`` lines that all
+  share its rules (a UA line only starts a new group after a rule line —
+  the pre-r05 parser reset membership on every UA line, dropping the
+  star group's rules from ``User-agent: *`` / ``User-agent: foo``
+  stacks). The crawler's product token picks the MOST SPECIFIC matching
+  group: longest UA token that case-insensitively prefixes the agent
+  name; all groups at that specificity merge (RFC: groups sharing a UA
+  are combined); no non-wildcard match falls back to the ``*`` groups;
 - ``Disallow:`` / ``Allow:`` prefix rules collected (empty value = no
   rule); per url the LONGEST matching rule wins, ties and no-match
   default to allow — the REP precedence Googlebot documents (r04;
   previously Disallow-only, which wrongly dropped carve-outs like
   ``Allow: /private/public`` under ``Disallow: /private``);
-- ``Crawl-delay:`` seconds parsed (default 1.0);
+- ``Crawl-delay:`` seconds parsed (default 1.0; last one in the
+  selected groups wins, matching line-order semantics);
 - budget = clamp(round_seconds / crawl_delay, 1, max_budget).
 """
 
@@ -35,13 +44,17 @@ _PARSED = T.StructType(
 )
 
 
-def _parse_one(content: str | None) -> tuple[float, list[str], list[str]]:
-    if not content:
-        return (DEFAULT_CRAWL_DELAY_S, [], [])
-    delay = DEFAULT_CRAWL_DELAY_S
-    disallow: list[str] = []
-    allow: list[str] = []
-    in_star_group = False
+def _parse_groups(content: str) -> list[dict]:
+    """robots.txt → rule groups: ``{agents, disallow, allow, delays}``.
+
+    RFC 9309 §2.1: a group is one or more consecutive ``User-agent``
+    lines followed by rule lines; ALL the heading UA lines share the
+    group's rules, and a UA line after a rule line starts a new group
+    (ADVICE r04: resetting membership per UA line dropped the earlier
+    agents' rules)."""
+    groups: list[dict] = []
+    cur: dict | None = None
+    in_ua_run = False
     for line in content.splitlines():
         line = line.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -49,26 +62,80 @@ def _parse_one(content: str | None) -> tuple[float, list[str], list[str]]:
         key, _, val = line.partition(":")
         key, val = key.strip().lower(), val.strip()
         if key == "user-agent":
-            in_star_group = val == "*"
-        elif in_star_group and key == "disallow" and val:
-            disallow.append(val)
-        elif in_star_group and key == "allow" and val:
-            allow.append(val)
-        elif in_star_group and key == "crawl-delay":
-            try:
-                delay = max(0.1, float(val))
-            except ValueError:
-                pass
-    return (delay, sorted(set(disallow)), sorted(set(allow)))
+            if not in_ua_run:
+                cur = {"agents": set(), "disallow": [], "allow": [], "delays": []}
+                groups.append(cur)
+                in_ua_run = True
+            cur["agents"].add(val.lower())
+        elif cur is not None:
+            in_ua_run = False
+            if key == "disallow" and val:
+                cur["disallow"].append(val)
+            elif key == "allow" and val:
+                cur["allow"].append(val)
+            elif key == "crawl-delay":
+                try:
+                    cur["delays"].append(max(0.1, float(val)))
+                except ValueError:
+                    pass
+    return groups
 
 
-@F.pandas_udf(_PARSED)
-def parse_robots_txt(contents: pd.Series) -> pd.DataFrame:
-    """Vectorized robots.txt → (crawl_delay_s, disallow, allow)."""
-    parsed = [_parse_one(c) for c in contents]
-    return pd.DataFrame(
-        parsed, columns=["crawl_delay_s", "disallow_prefixes", "allow_prefixes"]
-    )
+def _parse_one(
+    content: str | None, agent: str = "*"
+) -> tuple[float, list[str], list[str]]:
+    """Parse + §2.2.1 group selection for ``agent``'s product token:
+    the longest UA token that case-insensitively prefixes ``agent``
+    wins; every group at that specificity merges; otherwise the ``*``
+    groups; otherwise everything is allowed."""
+    if not content:
+        return (DEFAULT_CRAWL_DELAY_S, [], [])
+    groups = _parse_groups(content)
+    a = agent.lower()
+
+    def specificity(g: dict) -> int:
+        # -1 = no match; 0 = wildcard; >0 = matched token length
+        best = -1
+        for tok in g["agents"]:
+            if tok == "*":
+                best = max(best, 0)
+            elif tok and a.startswith(tok):
+                best = max(best, len(tok))
+        return best
+
+    specs = [specificity(g) for g in groups]
+    top = max((s for s in specs if s > 0), default=None)
+    if top is None:
+        top = 0 if any(s == 0 for s in specs) else None
+    if top is None:
+        return (DEFAULT_CRAWL_DELAY_S, [], [])
+    chosen = [g for g, s in zip(groups, specs) if s == top]
+    disallow = sorted({r for g in chosen for r in g["disallow"]})
+    allow = sorted({r for g in chosen for r in g["allow"]})
+    delays = [d for g in chosen for d in g["delays"]]
+    delay = delays[-1] if delays else DEFAULT_CRAWL_DELAY_S
+    return (delay, disallow, allow)
+
+
+def parse_robots_txt_for(agent: str = "*"):
+    """Vectorized robots.txt parser bound to one crawler product token
+    (the group-selection agent). Returns a pandas UDF producing
+    (crawl_delay_s, disallow_prefixes, allow_prefixes); the return-type
+    struct ``_PARSED`` stays module-level (Spark 4.1 pickling gotcha)."""
+
+    @F.pandas_udf(_PARSED)
+    def _udf(contents: pd.Series) -> pd.DataFrame:
+        parsed = [_parse_one(c, agent) for c in contents]
+        return pd.DataFrame(
+            parsed,
+            columns=["crawl_delay_s", "disallow_prefixes", "allow_prefixes"],
+        )
+
+    return _udf
+
+
+#: default-agent parser (the ``*`` group only) — pre-r05 public surface
+parse_robots_txt = parse_robots_txt_for("*")
 
 
 def _rule_matches(rule: Column, path: Column) -> Column:
@@ -133,11 +200,15 @@ def robots_table(
     host_col: str = "host",
     content_col: str = "robots_txt",
     round_seconds: float = 30.0,
+    agent: str = "*",
 ) -> DataFrame:
     """(host, robots_txt) → the politeness dim table used by claim_batch
-    and expand_frontier (schemas.ROBOTS shape)."""
+    and expand_frontier (schemas.ROBOTS shape). ``agent`` is the
+    crawler's product token for RFC 9309 §2.2.1 group selection (r05);
+    the default honors only the ``*`` groups."""
     parsed = fetched.select(
-        F.col(host_col).alias("host"), parse_robots_txt(F.col(content_col)).alias("r")
+        F.col(host_col).alias("host"),
+        parse_robots_txt_for(agent)(F.col(content_col)).alias("r"),
     )
     return parsed.select(
         "host",

@@ -27,6 +27,74 @@ def test_parse_robots_pure():
     assert rb._parse_one("User-agent: *\nCrawl-delay: bogus") == (1.0, [], [])
 
 
+def test_agent_group_selection_matrix():
+    """RFC 9309 §2.2.1 (r05): most-specific matching User-agent group
+    wins (longest prefix of the product token), groups at the same
+    specificity merge, no match falls back to `*`."""
+    # our crawler has a dedicated group -> star rules must NOT apply
+    delay, dis, alw = rb._parse_one(SAMPLE, agent="googlebot")
+    assert dis == ["/only-for-google"] and alw == []
+    assert delay == 1.0  # Crawl-delay: 5 lives in the star group only
+    # unknown agent -> star fallback (same as the default parse)
+    assert rb._parse_one(SAMPLE, agent="otherbot") == rb._parse_one(SAMPLE)
+
+    txt = "\n".join(
+        [
+            "User-agent: foo",
+            "Disallow: /foo-only",
+            "User-agent: foobot",
+            "Disallow: /foobot-only",
+            "Crawl-delay: 9",
+            "User-agent: foobot",  # same token again -> groups merge
+            "Disallow: /foobot-extra",
+            "User-agent: *",
+            "Disallow: /star",
+        ]
+    )
+    # longest-prefix: 'foobot-news' matches both 'foo' and 'foobot';
+    # 'foobot' is more specific, and BOTH foobot groups merge
+    delay, dis, _ = rb._parse_one(txt, agent="foobot-news")
+    assert dis == ["/foobot-extra", "/foobot-only"]
+    assert delay == 9.0
+    # 'foox' matches only the shorter token
+    assert rb._parse_one(txt, agent="foox")[1] == ["/foo-only"]
+    # case-insensitive (RFC: matching MUST be case-insensitive)
+    assert rb._parse_one(txt, agent="FooBot")[1] == [
+        "/foobot-extra",
+        "/foobot-only",
+    ]
+
+
+def test_consecutive_user_agent_lines_share_group():
+    """ADVICE r04: UA lines heading a group ALL share its rules; a UA
+    line only starts a new group after a rule line."""
+    txt = "\n".join(
+        [
+            "User-agent: *",
+            "User-agent: foo",
+            "Disallow: /shared",
+            "User-agent: bar",  # after a rule line -> NEW group
+            "Disallow: /bar-only",
+        ]
+    )
+    assert rb._parse_one(txt, agent="*")[1] == ["/shared"]       # star keeps rules
+    assert rb._parse_one(txt, agent="foo")[1] == ["/shared"]
+    assert rb._parse_one(txt, agent="bar")[1] == ["/bar-only"]
+    # rules before any User-agent line belong to no group
+    assert rb._parse_one("Disallow: /orphan\nUser-agent: *\nDisallow: /x")[1] == ["/x"]
+    # no matching group at all -> everything allowed
+    assert rb._parse_one("User-agent: foo\nDisallow: /x", agent="zzz") == (1.0, [], [])
+
+
+def test_robots_table_agent_param(spark):
+    df = spark.createDataFrame([("a.com", SAMPLE)], ["host", "robots_txt"])
+    star = rb.robots_table(df, round_seconds=30).collect()[0]
+    goog = rb.robots_table(df, round_seconds=30, agent="googlebot").collect()[0]
+    assert star["disallow_prefixes"] == ["/admin", "/private"]
+    assert goog["disallow_prefixes"] == ["/only-for-google"]
+    assert goog["crawl_delay_s"] == 1.0 and goog["max_claims_per_round"] == 30
+
+
 def test_robots_table(spark):
     df = spark.createDataFrame(
         [("a.com", SAMPLE), ("b.com", None), ("c.com", "User-agent: *\nCrawl-delay: 0.5")],
