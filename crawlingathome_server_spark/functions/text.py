@@ -135,6 +135,41 @@ def extract_hrefs_jvm(html: Column) -> Column:
     )
 
 
+_RE_BASE = re.compile(
+    rb"""<base\s[^>]*?href\s*=\s*["']([^"'#\s]+)["']""", re.IGNORECASE | re.DOTALL
+)
+
+
+def _base_one(raw: bytes | None) -> str | None:
+    if raw is None:
+        return None
+    m = _RE_BASE.search(raw)
+    return m.group(1).decode("utf-8", errors="replace") if m else None
+
+
+@F.pandas_udf(T.StringType())
+def extract_base(html: pd.Series) -> pd.Series:
+    """html:binary → the FIRST ``<base href>`` value (HTML spec: only
+    the first base element is honored), or NULL. May itself be relative
+    — callers resolve it against the document url before using it as
+    the link-resolution base (expand_frontier does)."""
+    return html.map(_base_one)
+
+
+def extract_base_jvm(html: Column) -> Column:
+    """Codegen twin of :func:`extract_base` (same regex family as
+    :func:`extract_hrefs_jvm`; parity asserted in tests). NULL when the
+    page has no ``<base href>``."""
+    return F.nullif(
+        F.regexp_extract(
+            F.decode(html, "UTF-8"),
+            r"""(?is)<base\s[^>]*?href\s*=\s*["']([^"'#\s]+)["']""",
+            1,
+        ),
+        F.lit(""),
+    )
+
+
 def extract_links_jvm(html: Column) -> Column:
     """Codegen twin of :func:`extract_links` (absolute-only contract)."""
     return F.filter(

@@ -203,6 +203,38 @@ _RESOLVE_CASES = [
 ]
 
 
+def test_extract_base_jvm_twin_parity(spark):
+    """extract_base (pandas) ≡ extract_base_jvm (codegen): first
+    `<base href>` only, NULL when absent, quote/case/attr-order edges."""
+    edge = spark.createDataFrame(
+        [
+            (b'<base href="http://cdn.com/root/">x',),
+            (b"<BASE target='_top' HREF='/rel/dir/'>",),
+            (b'<base href="http://first.com/"><base href="http://second.com/">',),
+            (b'<base target="_top">no href here',),
+            (b"<a href='http://not-base.com/'>a</a>",),
+            (b"",),
+            (None,),
+        ],
+        "html binary",
+    )
+    rows = edge.select(
+        tx.extract_base(F.col("html")).alias("py"),
+        tx.extract_base_jvm(F.col("html")).alias("jvm"),
+    ).collect()
+    expect = ["http://cdn.com/root/", "/rel/dir/", "http://first.com/",
+              None, None, None, None]
+    assert [r["py"] for r in rows] == expect
+    assert [r["jvm"] for r in rows] == expect
+    # parity on the golden corpus too
+    pages = datagen.pages(spark, seed=9, n=300)
+    for r in pages.select(
+        tx.extract_base(F.col("html")).alias("py"),
+        tx.extract_base_jvm(F.col("html")).alias("jvm"),
+    ).collect():
+        assert r["py"] == r["jvm"]
+
+
 def test_resolve_url_jvm_python_parity(spark):
     """resolve_url_expr (codegen) ≡ resolve_url (python twin), byte-for-
     byte, across every href shape."""

@@ -866,6 +866,47 @@ def test_expand_frontier_follow_links_resolves_all_shapes(spark):
     ], got
 
 
+def test_expand_frontier_honors_base_href(spark):
+    """r05 (VERDICT r04 missing #3): a page with `<base href>` resolves
+    its relative links against the base — absolute and root-relative
+    behavior per RFC 3986 against the EFFECTIVE base; a relative base
+    first resolves against the page url; pages without a base are
+    untouched."""
+    import datetime as dt
+
+    links = (
+        b'<a href="sibling">s</a>'
+        b'<a href="/rooted/doc">r</a>'
+        b'<a href="http://abs.com/x">a</a>'
+    )
+    ts = dt.datetime(2020, 9, 13, tzinfo=dt.timezone.utc)
+    pages = spark.createDataFrame(
+        [
+            # absolute base on ANOTHER host: relative + root-relative
+            # links move to base.net
+            ("http://page.com/p/doc.html", ts,
+             b'<base href="http://base.net/b/dir/">' + links, "t", "en"),
+            # relative base: resolves against the page url first
+            ("http://page.com/p/q/doc.html", ts,
+             b'<base href="../up/">' + links, "t", "en"),
+            # no base: page url is the base (control row)
+            ("http://ctrl.com/p/doc.html", ts, links, "t", "en"),
+        ],
+        schema=schemas.PAGES,
+    )
+    out = expand_frontier(pages, None, seed=1, default_budget=1 << 20, follow_links=True)
+    got = sorted(r["canon_url"] for r in out.collect())
+    assert got == [
+        "http://abs.com/x",
+        "http://base.net/b/dir/sibling",
+        "http://base.net/rooted/doc",
+        "http://ctrl.com/p/sibling",
+        "http://ctrl.com/rooted/doc",
+        "http://page.com/p/up/sibling",
+        "http://page.com/rooted/doc",
+    ], got
+
+
 def test_multi_round_state_machine_invariants(spark, tmp_path):
     """SURVEY §5 property checks over 4 rounds with completions mixed in:
     no job claimed twice while pending; closed is monotone; per-round
