@@ -416,6 +416,61 @@ def run_bench(spark, sf_dir: str) -> dict:
             shutil.rmtree(rr_root, ignore_errors=True)
     timings.update(rr_times)
 
+    # r05 open-set sidecar (VERDICT r04 missing #1): MATURE-crawl shape —
+    # 1% of the frontier open (the politeness rank's true input). Two
+    # stores, 2M and 16M rows at the same 1% open fraction: the patch
+    # round's cost should be near-FLAT in table size now that the claim
+    # ranks over the sidecar (the remaining growth is the narrow merge
+    # point-read, a sort-free columnar scan). After the round (one live
+    # MOR layer — the steady state), the claim contrast on the 16M
+    # store: sidecar claim (O(open) reconstruction) vs the r04 path
+    # (full frontier MOR reconstruction + rank). Best-of-2, noop sink.
+    from crawlingathome_server_spark.operators import claim as claim_op
+
+    n_open = 0
+    for label, n_rows in (("2m", 2_000_000), ("16m", 16_000_000)):
+        rr_root = tempfile.mkdtemp(prefix=f"rr_bench_{label}1pct", dir="/tmp")
+        try:
+            store = CheckpointStore(rr_root, n_partitions=64)
+            eng = RoundEngine(spark, store, seed=9, host_default_budget=2)
+            eng.bootstrap(
+                synth_frontier_expr(spark, n_rows, open_frac=0.01),
+                synth_workers(spark),
+            )
+            t0 = time.perf_counter()
+            eng.run_round(round_epoch=1, frontier_commit="patch")
+            timings[f"roundengine_{label}_1pct_patch"] = round(
+                time.perf_counter() - t0, 4
+            )
+            if label == "16m":
+                n_open = store.read_manifest(store.latest_snapshot_id())[
+                    "tables"
+                ][RoundEngine.OPEN_SIDECAR]["total_rows"]
+                sidecar = (
+                    store.read(spark, RoundEngine.OPEN_SIDECAR)
+                    .withColumn("pending", F.lit(False))
+                    .withColumn("closed", F.lit(False))
+                )
+                timings["claim_sidecar_16m_1pct"] = best_of(
+                    lambda: _materialize(
+                        claim_op.claim_batch(
+                            sidecar, None, seed=5, default_budget=2,
+                            with_payload=False,
+                        )
+                    )
+                )
+                full = store.read(spark, "frontier")
+                timings["claim_fullscan_16m_1pct"] = best_of(
+                    lambda: _materialize(
+                        claim_op.claim_batch(
+                            full, None, seed=5, default_budget=2,
+                            with_payload=False,
+                        )
+                    )
+                )
+        finally:
+            shutil.rmtree(rr_root, ignore_errors=True)
+
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     n_cores = spark.sparkContext.defaultParallelism
@@ -476,6 +531,21 @@ def run_bench(spark, sf_dir: str) -> dict:
         "crawl_round_urls_claimed": n_round2,
         "crawl_round_bytes_rewritten": crawl_bytes,
         "crawl_round_seen_total": final_counters["n_seen"],
+        # r05 sidecar evidence: r04-path (full MOR reconstruct + rank) vs
+        # open-set claim on the same 16M/1%-open 1-layer snapshot, the
+        # open-row count behind it, and the 8x-table growth factor of a
+        # 1%-open patch round (near-flat = the claim no longer scales
+        # with frontier size)
+        "open_sidecar_rows_16m_1pct": n_open,
+        "claim_sidecar_speedup_16m_1pct": round(
+            timings["claim_fullscan_16m_1pct"] / timings["claim_sidecar_16m_1pct"],
+            2,
+        ),
+        "roundengine_8x_growth_patch_1pct": round(
+            timings["roundengine_16m_1pct_patch"]
+            / timings["roundengine_2m_1pct_patch"],
+            2,
+        ),
         **_scaling_summary(),
     }
 
@@ -532,6 +602,8 @@ _COMPACT_KEYS = (
     "crawl_round_bytes_rewritten",
     "roundengine_8x_growth_patch",
     "roundengine_8x_growth_rewrite",
+    "claim_sidecar_speedup_16m_1pct",
+    "roundengine_8x_growth_patch_1pct",
     "scaling_efficiency_N_to_4N",
     "scaling_efficiency_4_to_16",
     "scaling_efficiency_8_to_32_literal",

@@ -225,16 +225,26 @@ def gen_completions_pdf(seed: int = 19, n: int = 200) -> pd.DataFrame:
 
 
 def synth_frontier_expr(
-    spark: SparkSession, n: int, n_hosts: int = 50_000, seed: int = 1
+    spark: SparkSession, n: int, n_hosts: int = 50_000, seed: int = 1,
+    open_frac: float = 1.0,
 ) -> DataFrame:
     """Large-scale deterministic frontier built from pure Spark expressions
     (``spark.range`` + hashes): content is independent of partitioning, no
-    Python rows ever materialize — the bench-scale generator."""
+    Python rows ever materialize — the bench-scale generator.
+
+    ``open_frac`` < 1 marks a deterministic hash-chosen complement of
+    rows completed (closed=True) — the mature-crawl shape (most of the
+    table done, a thin open fringe) behind the r05 open-set-sidecar
+    bench rows."""
     from pyspark.sql import functions as F
 
     df = spark.range(n).select(F.col("id").alias("number"))
     u = F.pmod(F.xxhash64("number", F.lit(seed)), F.lit(1_000_000)) / 1_000_000.0
     host_idx = F.floor(F.pow(u, 3.0) * n_hosts).cast("int")  # zipf-ish skew
+    closed = (
+        F.pmod(F.xxhash64("number", F.lit(seed + 2)), F.lit(1_000_000))
+        >= F.lit(int(open_frac * 1_000_000))
+    )
     return df.select(
         "number",
         F.concat(F.lit(DIRECTORY), F.lit("shard/"), F.col("number")).alias("url"),
@@ -247,7 +257,7 @@ def synth_frontier_expr(
         F.lit(False).alias("gpu"),
         F.lit(None).cast("string").alias("gpu_url"),
         F.lit(False).alias("pending"),
-        F.lit(False).alias("closed"),
+        closed.alias("closed"),
         F.lit(None).cast("string").alias("completor"),
         F.lit(None).cast("string").alias("cpu_completor"),
         F.lit(None).cast("long").alias("claim_epoch"),

@@ -102,6 +102,32 @@ class Patch:
       - ``remove_keys`` (optional, first column = key) DELETE rows; a key
         must not appear in both.
 
+    ``upsert=True`` (r05) relaxes the contract to insert-or-replace:
+      - ``df`` rows replace the current row with the same key OR insert
+        a new row (row-granular only — a column-granular layer has no
+        payload for an inserted key, so ``columns`` + ``upsert`` is
+        refused);
+      - ``remove_keys`` tombstones are no-ops for absent keys, and a key
+        in BOTH df and remove_keys resolves to the df row (defined: a
+        replacement beats a tombstone within its layer) — so a caller
+        can pass "all touched keys" as removals and "still-alive touched
+        rows" as df, the natural shape for a membership sidecar (e.g.
+        RoundEngine's open-set index).
+      - Row accounting: inserts vs replacements are indistinguishable
+        without an O(table) probe, so pass ``rows_delta`` (the exact net
+        row-count change) when known; otherwise the manifest keeps the
+        parent's total and flags it ``total_rows_exact: false`` until a
+        fold recomputes from written files.
+
+    Either mode VALIDATES the written layer is unique per key (count vs
+    countDistinct — duplicate keys would tie on (__ly, __del) in the
+    reconstruction window and resolve nondeterministically across
+    reads; ADVICE r04) and fails the commit loud before the manifest
+    exists. In strict (non-upsert) mode ``total_rows`` is maintained by
+    subtracting ``n_removed`` — exact UNDER THE CONTRACT (every removed
+    key present, every df key present); a contract-violating caller
+    skews it until the next fold recomputes from written partitions.
+
     Reads pay the reconstruction (one window over the layers' rows + an
     anti-join against the base); the chain is bounded by the store's
     ``patch_layers_max`` — a Patch commit that would exceed it folds the
@@ -126,10 +152,21 @@ class Patch:
         df: DataFrame,
         remove_keys: DataFrame | None = None,
         columns: tuple[str, ...] | list[str] | None = None,
+        upsert: bool = False,
+        rows_delta: int | None = None,
     ):
+        if upsert and columns is not None:
+            raise ValueError(
+                "Patch(upsert=True) is row-granular only: a column-granular "
+                "layer carries no payload for inserted keys"
+            )
+        if rows_delta is not None and not upsert:
+            raise ValueError("rows_delta only applies to upsert=True patches")
         self.df = df
         self.remove_keys = remove_keys
         self.columns = list(columns) if columns is not None else None
+        self.upsert = upsert
+        self.rows_delta = rows_delta
 
 
 class CheckpointStore:
@@ -266,6 +303,7 @@ class CheckpointStore:
             parent_layers: list = list(parent_meta_t.get("delta_layers", []))
             layers: list = []
             total_override: int | None = None
+            total_exact: bool = True
 
             if isinstance(delta, Patch):
                 if name not in parent_tables:
@@ -300,6 +338,7 @@ class CheckpointStore:
                 partitions = dict(parent_parts)
                 layers = parent_layers
                 total_override = parent_meta_t.get("total_rows")
+                total_exact = parent_meta_t.get("total_rows_exact", True)
             elif isinstance(delta, Patch):
                 # merge-on-read: write ONLY the delta rows (+ tombstones)
                 # as a new layer; base buckets are inherited verbatim.
@@ -320,7 +359,26 @@ class CheckpointStore:
                     layer_cols = list(df.columns)
                 layer_schema = T_struct([df.schema[c] for c in layer_cols])
                 delta.df.select(*layer_cols).write.mode("overwrite").parquet(rows_path)
-                n_rows = spark.read.schema(layer_schema).parquet(rows_path).count()
+                stats = (
+                    spark.read.schema(layer_schema)
+                    .parquet(rows_path)
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.count_distinct(F.col(key)).alias("nd"),
+                    )
+                    .collect()[0]
+                )
+                n_rows = stats["n"]
+                if n_rows != stats["nd"]:
+                    # duplicate keys within one layer tie on (__ly, __del)
+                    # in the reconstruction window → nondeterministic row
+                    # choice across reads (ADVICE r04) — abort before the
+                    # manifest exists
+                    raise ValueError(
+                        f"Patch layer for '{name}' has duplicate keys: "
+                        f"{n_rows} rows over {stats['nd']} distinct "
+                        f"'{key}' values; dedupe the delta first"
+                    )
                 remove_path, n_removed = None, 0
                 if delta.remove_keys is not None:
                     rk_col = _delta_key_col(delta.remove_keys, key)
@@ -343,12 +401,29 @@ class CheckpointStore:
                             "remove_path": remove_path,
                             "n_removed": n_removed,
                             "columns": delta.columns,
+                            "upsert": delta.upsert,
                             "written_by": snap_id,
                         }
                     ]
-                # replace/delete-only contract: every patched key exists,
-                # so the row count drifts only by the deletions
-                total_override = parent_meta_t["total_rows"] - n_removed
+                total_exact = parent_meta_t.get("total_rows_exact", True)
+                if delta.upsert:
+                    # inserts vs replacements are indistinguishable without
+                    # an O(table) probe; trust the caller's declared net
+                    # change, else carry the parent total flagged inexact
+                    # until the next fold recomputes from written files
+                    if delta.rows_delta is not None:
+                        total_override = (
+                            parent_meta_t["total_rows"] + delta.rows_delta
+                        )
+                    else:
+                        total_override = parent_meta_t["total_rows"]
+                        total_exact = False
+                else:
+                    # replace/delete-only contract: every patched key
+                    # exists and every removed key is live, so the count
+                    # drifts only by the deletions — exact UNDER THE
+                    # CONTRACT (a violating caller skews it until fold)
+                    total_override = parent_meta_t["total_rows"] - n_removed
             else:
                 if delta is not None and delta is not UNCHANGED and name in parent_tables:
                     if isinstance(delta, Append):
@@ -450,6 +525,9 @@ class CheckpointStore:
                     if total_override is not None
                     else sum(p["rows"] for p in partitions.values())
                 ),
+                # false only while an upsert layer without a declared
+                # rows_delta is live; folds restore exactness
+                "total_rows_exact": total_exact,
                 # schema pinned in the manifest so empty tables (zero parquet
                 # files under partitionBy) reconstruct exactly on read
                 "schema_json": df.schema.json(),

@@ -319,6 +319,81 @@ def test_two_stage_cpu_gpu_lifecycle(spark, tmp_path):
     assert "cpu-nick" not in lb and "gpu-nick" not in cpu_lb
 
 
+def test_open_sidecar_tracks_open_set_and_claims_match(spark, tmp_path):
+    """r05 open-set sidecar (VERDICT r04 #1): across mixed rounds —
+    completions (incl. cpu→gpu promotions and postgres short-circuits),
+    reaping, cpu AND gpu claim stages — the sidecar stays EXACTLY the
+    frontier's open set (content + exact manifest row count), and the
+    sidecar-pruned claim output is identical to a full-scan claim over
+    the same snapshot."""
+    from crawlingathome_server_spark.operators import claim as claim_op
+    from crawlingathome_server_spark.operators import transitions as tr
+
+    store = CheckpointStore(str(tmp_path / "osc"), n_partitions=8)
+    eng = RoundEngine(spark, store, seed=11)
+    fr = dedup_by_number(datagen.frontier(spark, n=500))
+    eng.bootstrap(fr, datagen.workers(spark), round_epoch=0)
+
+    def check_invariant():
+        frontier = store.read(spark, "frontier")
+        want = sorted(
+            map(tuple, frontier.filter("not pending and not closed")
+                .select(*RoundEngine.SIDECAR_COLS).collect())
+        )
+        got = sorted(map(tuple, store.read(spark, RoundEngine.OPEN_SIDECAR).collect()))
+        assert got == want
+        meta = store.read_manifest(store.latest_snapshot_id())["tables"][
+            RoundEngine.OPEN_SIDECAR
+        ]
+        assert meta["total_rows_exact"] is True
+        assert meta["total_rows"] == len(want)
+
+    check_invariant()
+    for ep, stage, wt in ((1, "cpu", "CPU"), (2, "gpu", "GPU"), (3, "cpu", "CPU")):
+        epoch = 1_600_000_000 + ep * 600
+        pending = store.read(spark, "frontier").filter("pending and not closed")
+        done = sorted(r["number"] for r in pending.collect())[::3]
+        comps = None
+        if done:
+            comps = spark.createDataFrame(
+                [(n, f"u{n % 5}", f"w{n % 5}", "cpu" if n % 3 else "hybrid", 2,
+                  ("postgres://x" if n % 5 == 0 else f"http://g/{n}")
+                  if n % 3 else None, epoch)
+                 for n in done],
+                schema=schemas.COMPLETIONS,
+            )
+        # full-scan claim over the SAME post-transition snapshot the
+        # engine will claim from, computed independently
+        frontier0 = store.read(spark, "frontier")
+        if comps is not None:
+            frontier0 = tr.complete_jobs(frontier0, comps)
+        # (no reaping in this scenario: worker heartbeats never go stale)
+        expect = claim_op.claim_batch(
+            frontier0, None, seed=11 + epoch, stage=stage,
+            default_budget=eng.host_default_budget, with_payload=False,
+        )
+        expect_rows = sorted(
+            (r["number"], r["order_key"]) for r in expect.collect()
+        )
+        res = eng.run_round(round_epoch=epoch, completions=comps, stage=stage,
+                            worker_type=wt)
+        claimed = store.read(spark, "frontier").filter(
+            F.col("claim_epoch") == epoch
+        )
+        assert sorted(r["number"] for r in claimed.collect()) == [
+            n for n, _ in expect_rows
+        ]
+        assert res.n_claims == len(expect_rows)
+        check_invariant()
+    # the sidecar never triggered a full-table rewrite after bootstrap:
+    # every base bucket still carries the bootstrap's written_by
+    meta = store.read_manifest(store.latest_snapshot_id())["tables"][
+        RoundEngine.OPEN_SIDECAR
+    ]
+    assert all(p["written_by"] == 1 for p in meta["partitions"].values())
+    assert len(meta["delta_layers"]) == 3
+
+
 def test_expand_frontier_respects_robots_disallow(spark):
     pages = datagen.pages(spark, seed=41, n=800)
     rb = datagen.robots(spark)  # hosts 0,5,10,... disallow /private,/admin
@@ -602,6 +677,94 @@ def test_patch_column_granular(spark, tmp_path):
     assert scans and all("url" not in s for s in scans), plan
     got_sub = {r["number"]: r["pending"] for r in sub.collect()}
     assert got_sub[5] is True and got_sub[25] is False
+
+
+def test_patch_upsert_layer(spark, tmp_path):
+    """r05 upsert patches: df rows insert-or-replace, tombstones are
+    no-ops for absent keys, a key in both df and remove_keys resolves to
+    the df row, and total_rows follows the caller's rows_delta (flagged
+    inexact when not declared, exact again after a fold)."""
+    from crawlingathome_server_spark.sources.checkpoint import Patch
+
+    store = CheckpointStore(str(tmp_path / "ups"), n_partitions=4, patch_layers_max=4)
+
+    def rows(lo, hi, epoch):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("u"), F.col("id")).alias("canon_url"),
+            F.lit(epoch).cast("long").alias("seen_epoch"),
+        )
+
+    base = rows(0, 100, 1)
+    store.commit({"t": base}, seed=1, round_epoch=0)
+
+    # upsert: replace u90-99, INSERT u100-109; tombstone u0-4 (live),
+    # u500-504 (absent -> no-op), and u95-99 (also in df -> df wins)
+    touched = spark.range(0, 5).union(spark.range(500, 505)).union(
+        spark.range(95, 100)
+    ).select(F.concat(F.lit("u"), F.col("id")).alias("canon_url"))
+    sid1 = store.commit(
+        {"t": base}, seed=1, round_epoch=1,
+        deltas={"t": Patch(rows(90, 110, 2), remove_keys=touched,
+                           upsert=True, rows_delta=10 - 5)},
+    )
+    got = {r["canon_url"]: r["seen_epoch"] for r in store.read(spark, "t", sid1).collect()}
+    assert len(got) == 105
+    assert "u0" not in got and "u4" not in got          # tombstoned
+    assert got["u95"] == 2 and got["u99"] == 2          # df beats tombstone
+    assert got["u100"] == 2 and got["u109"] == 2        # inserted
+    assert got["u5"] == 1                               # untouched
+    m1 = store.read_manifest(sid1)["tables"]["t"]
+    assert m1["total_rows"] == 105 and m1["total_rows_exact"] is True
+
+    # without rows_delta the total carries over flagged inexact...
+    sid2 = store.commit(
+        {"t": base}, seed=1, round_epoch=2,
+        deltas={"t": Patch(rows(200, 203, 3), upsert=True)},
+    )
+    m2 = store.read_manifest(sid2)["tables"]["t"]
+    assert m2["total_rows_exact"] is False
+    assert store.read(spark, "t", sid2).count() == 108
+    # ...and an UNCHANGED commit propagates the flag
+    sid3 = store.commit(
+        {"t": base}, seed=1, round_epoch=3, deltas={"t": "__unchanged__"}
+    )
+    assert (
+        store.read_manifest(sid3)["tables"]["t"]["total_rows_exact"] is False
+    )
+
+    # fold (full rewrite) restores exact accounting
+    current = store.read(spark, "t", sid3)
+    sid4 = store.commit({"t": current}, seed=1, round_epoch=4)
+    m4 = store.read_manifest(sid4)["tables"]["t"]
+    assert m4["total_rows"] == 108 and m4["total_rows_exact"] is True
+
+    # guard rails: upsert is row-granular only; rows_delta needs upsert
+    with pytest.raises(ValueError, match="row-granular"):
+        Patch(base, columns=("seen_epoch",), upsert=True)
+    with pytest.raises(ValueError, match="rows_delta"):
+        Patch(base, rows_delta=1)
+
+
+def test_patch_duplicate_keys_fail_loud(spark, tmp_path):
+    """ADVICE r04: duplicate keys within one Patch layer would resolve
+    nondeterministically in the reconstruction window — the commit must
+    refuse them before the manifest exists."""
+    from crawlingathome_server_spark.sources.checkpoint import Patch
+
+    store = CheckpointStore(str(tmp_path / "dup"), n_partitions=4)
+    base = spark.range(0, 50).select(
+        F.concat(F.lit("u"), F.col("id")).alias("canon_url"),
+        F.lit(1).cast("long").alias("seen_epoch"),
+    )
+    store.commit({"t": base}, seed=1, round_epoch=0)
+    dup = base.limit(10).unionByName(base.limit(3))
+    for extra in ({}, {"upsert": True}):
+        with pytest.raises(ValueError, match="duplicate keys"):
+            store.commit(
+                {"t": base}, seed=1, round_epoch=1,
+                deltas={"t": Patch(dup, **extra)},
+            )
+    assert store.latest_snapshot_id() == 1  # no manifest written
 
 
 def test_delta_key_column_order_mismatch_fails_loud(spark, tmp_path):
