@@ -528,6 +528,16 @@ class CrawlEngine:
                     "n_expired": n_expired,
                     "crawl_capacity": capacity,
                     "urlseen_params": params,
+                    # the streaming driver's exactly-once replay skip
+                    # reads stream_batch_id from the LATEST manifest —
+                    # a non-stream round interleaved between commits
+                    # must not erase it (ADVICE r04), so it carries
+                    # forward unless this round overrides it
+                    **(
+                        {"stream_batch_id": counters["stream_batch_id"]}
+                        if "stream_batch_id" in counters
+                        else {}
+                    ),
                     **(extra_counters or {}),
                 },
                 deltas=deltas,

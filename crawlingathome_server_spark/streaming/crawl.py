@@ -35,6 +35,7 @@ def run_crawl_stream(
     epoch_base: int = 0,
     max_files_per_trigger: int = 1,
     available_now: bool = True,
+    trigger_interval: str | None = None,
 ) -> Any:
     """Wire a parquet page stream into ``engine`` (a CrawlEngine whose
     store is already bootstrapped). One micro-batch = one crawl round
@@ -43,7 +44,10 @@ def run_crawl_stream(
     ``available_now=True`` drains everything currently in ``source_dir``
     (respecting ``max_files_per_trigger`` per batch) and stops — the
     test/catch-up mode; ``False`` keeps the query live for continuous
-    ingestion. Returns the StreamingQuery."""
+    ingestion, firing on Spark's ASAP trigger or, when
+    ``trigger_interval`` is given (e.g. ``"1 seconds"``), on a
+    processingTime cadence — the deployment mode where pages keep
+    landing while the crawl runs. Returns the StreamingQuery."""
     from .. import schemas
 
     pages = (
@@ -70,4 +74,6 @@ def run_crawl_stream(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
+    elif trigger_interval is not None:
+        writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()

@@ -295,3 +295,115 @@ def test_crawl_stream_two_batches_equals_two_rounds(spark, tmp_path):
     # the stream rounds recorded their batch ids (exactly-once bookkeeping)
     last = store_s.read_manifest(store_s.latest_snapshot_id())["counters"]
     assert last["stream_batch_id"] == 1
+
+
+def test_crawl_stream_batch_round_interleaved_keeps_replay_skip(spark, tmp_path):
+    """ADVICE r04: a NON-stream CrawlEngine round committed between the
+    store commit and the streaming checkpoint commit (the crash window)
+    must not erase stream_batch_id — otherwise a replayed micro-batch
+    double-applies. The counter now carries forward through batch
+    rounds, and a replayed batch id is still skipped after one."""
+    from crawlingathome_server_spark import datagen
+    from crawlingathome_server_spark.plans.rounds import CrawlEngine
+    from crawlingathome_server_spark.sources.checkpoint import CheckpointStore
+    from crawlingathome_server_spark.streaming.crawl import run_crawl_stream
+
+    pages1 = datagen.pages(spark, seed=63, n=200)
+    pages_mid = datagen.pages(spark, seed=64, n=200)
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    store = CheckpointStore(str(tmp_path / "st"), n_partitions=4)
+    eng = CrawlEngine(spark, store, seed=5, default_budget=1 << 20)
+    eng.bootstrap()
+    pages1.coalesce(1).write.mode("append").parquet(src)
+    q = run_crawl_stream(spark, eng, src, ckpt)
+    assert q.awaitTermination(180)
+    assert (
+        store.read_manifest(store.latest_snapshot_id())["counters"][
+            "stream_batch_id"
+        ]
+        == 0
+    )
+
+    # interleave a batch-mode round: stream_batch_id must survive it
+    eng.run_round(pages_mid, round_epoch=50)
+    counters = store.read_manifest(store.latest_snapshot_id())["counters"]
+    assert counters["stream_batch_id"] == 0
+
+    # simulate the replay of batch 0 (crash before checkpoint commit):
+    # wipe the streaming checkpoint so the SAME file re-delivers as
+    # batch 0 — the manifest skip must reject it (no new store commit)
+    import shutil
+
+    shutil.rmtree(ckpt)
+    snap_before = store.latest_snapshot_id()
+    seen_before = sorted(
+        r["canon_url"] for r in store.read(spark, "seen_urls").collect()
+    )
+    q2 = run_crawl_stream(spark, eng, src, ckpt)
+    assert q2.awaitTermination(180)
+    assert store.latest_snapshot_id() == snap_before
+    seen_after = sorted(
+        r["canon_url"] for r in store.read(spark, "seen_urls").collect()
+    )
+    assert seen_after == seen_before
+
+
+def test_crawl_stream_live_trigger_feeds_mid_stream(spark, tmp_path):
+    """VERDICT r04 next #6: a LIVE processingTime-trigger stream — files
+    fed while the query runs, stopped after N rounds — commits the same
+    manifest chain as batch mode, without relying on availableNow drain
+    semantics."""
+    import time
+
+    from crawlingathome_server_spark import datagen
+    from crawlingathome_server_spark.plans.rounds import CrawlEngine
+    from crawlingathome_server_spark.sources.checkpoint import CheckpointStore
+    from crawlingathome_server_spark.streaming.crawl import run_crawl_stream
+
+    pages1 = datagen.pages(spark, seed=65, n=250)
+    pages2 = datagen.pages(spark, seed=66, n=250)
+
+    # batch reference
+    store_b = CheckpointStore(str(tmp_path / "batch"), n_partitions=4)
+    eng_b = CrawlEngine(spark, store_b, seed=5, default_budget=1 << 20)
+    eng_b.bootstrap()
+    eng_b.run_round(pages1, round_epoch=1)
+    eng_b.run_round(pages2, round_epoch=2)
+
+    def rounds_committed(store):
+        return [
+            (m["counters"]["n_claimed"], m["counters"].get("stream_batch_id"))
+            for m in reversed(store.lineage())
+            if "n_claimed" in m.get("counters", {})
+        ]
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    store_s = CheckpointStore(str(tmp_path / "stream"), n_partitions=4)
+    eng_s = CrawlEngine(spark, store_s, seed=5, default_budget=1 << 20)
+    eng_s.bootstrap()
+    pages1.coalesce(1).write.mode("append").parquet(src)
+    q = run_crawl_stream(
+        spark, eng_s, src, ckpt, available_now=False,
+        trigger_interval="1 seconds",
+    )
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline and len(rounds_committed(store_s)) < 1:
+            time.sleep(0.5)
+        assert len(rounds_committed(store_s)) == 1, "round 1 never committed"
+        # feed the second file MID-STREAM, while the query is live
+        pages2.coalesce(1).write.mode("append").parquet(src)
+        while time.time() < deadline and len(rounds_committed(store_s)) < 2:
+            time.sleep(0.5)
+        assert len(rounds_committed(store_s)) == 2, "round 2 never committed"
+    finally:
+        q.stop()
+
+    assert [c for c, _ in rounds_committed(store_s)] == [
+        c for c, _ in rounds_committed(store_b)
+    ]
+    assert [b for _, b in rounds_committed(store_s)] == [0, 1]
+    seen_b = sorted(r["canon_url"] for r in store_b.read(spark, "seen_urls").collect())
+    seen_s = sorted(r["canon_url"] for r in store_s.read(spark, "seen_urls").collect())
+    assert seen_s == seen_b and len(seen_s) > 0
