@@ -197,3 +197,43 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         assert "Exchange" not in p, p
     finally:
         spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_point_read_prunes_base_scan_through_patch_layers(spark, tmp_path):
+    """VERDICT r04 next #7: the narrow claim/merge point-read must prune
+    the BASE parquet scan even while column-granular Patch layers are
+    live — the merge-on-read reconstruction (window + join) must not
+    drag the wide payload columns into the scan."""
+    from crawlingathome_server_spark.plans.rounds import RoundEngine
+    from crawlingathome_server_spark.sources.checkpoint import CheckpointStore
+
+    store = CheckpointStore(str(tmp_path / "pr"), n_partitions=4)
+    eng = RoundEngine(spark, store, seed=3)
+    fr = dedup_by_number(datagen.frontier(spark, n=300))
+    eng.bootstrap(fr, datagen.workers(spark), round_epoch=0)
+    eng.run_round(round_epoch=1, frontier_commit="patch")  # 1 live layer
+    assert (
+        store.read_manifest(store.latest_snapshot_id())["tables"]["frontier"][
+            "delta_layers"
+        ]
+    ), "test needs a live patch layer"
+
+    keys = fr.limit(20).select("number")
+    narrow = ("number", *RoundEngine.FRONTIER_STATE_COLS)
+    df = store.read_buckets(spark, "frontier", keys, columns=narrow)
+    p = plan_of(df)
+    # every parquet scan in the reconstructed plan (base buckets + layer)
+    # must read narrow schemas only — never the wide url payload
+    schemas = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert schemas, p
+    for ln in schemas:
+        assert "url" not in ln.split("gpu_url")[0] and "host" not in ln, ln
+    # and the open-set sidecar read is narrow by construction: its base
+    # scan must carry exactly the sidecar columns
+    sc = store.read(spark, RoundEngine.OPEN_SIDECAR)
+    sc_schemas = [
+        ln for ln in plan_of(sc).splitlines() if "ReadSchema" in ln
+    ]
+    assert sc_schemas
+    for ln in sc_schemas:
+        assert "pending" not in ln and "completor" not in ln, ln
