@@ -37,9 +37,11 @@ def worker(q, dur: float = 2.0, mb: int = 256) -> None:
     q.put(2 * n * len(src) / dt / 1e9)  # read + write bytes
 
 
-def main() -> None:
+def measure(levels: tuple[int, ...] = (1, 2, 4, 8, 16, 32)) -> dict[int, float]:
+    """Aggregate GB/s per worker count (importable — scaling_bench embeds
+    the 8/32 pair as ceiling telemetry in BENCH/scaling.json)."""
     out = {}
-    for procs in (1, 2, 4, 8, 16, 32):
+    for procs in levels:
         q: mp.Queue = mp.Queue()
         ps = [mp.Process(target=worker, args=(q,)) for _ in range(procs)]
         for p in ps:
@@ -48,7 +50,11 @@ def main() -> None:
         for p in ps:
             p.join()
         out[procs] = round(sum(vals), 1)
-    print(json.dumps(out))
+    return out
+
+
+def main() -> None:
+    print(json.dumps(measure()))
 
 
 if __name__ == "__main__":
