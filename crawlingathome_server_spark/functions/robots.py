@@ -184,6 +184,52 @@ def robots_disallowed(
     return dis > longest_match_len(allow_prefixes, path)
 
 
+def extract_sitemaps(content: Column) -> Column:
+    """``Sitemap:`` directives from robots.txt — RFC 9309 §2.2.4-style
+    "other records" / sitemaps.org protocol: one absolute URL per line,
+    case-insensitive key, INDEPENDENT of user-agent groups (valid
+    anywhere in the file). Pure JVM regex — stays in codegen; empty
+    array when none. Comments after the URL are stripped by the \\S+
+    charset (URLs cannot contain whitespace)."""
+    return F.regexp_extract_all(
+        F.coalesce(content, F.lit("")),
+        F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"),
+        F.lit(1),
+    )
+
+
+def sitemaps_table(
+    fetched: DataFrame,
+    *,
+    host_col: str = "host",
+    content_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, robots_txt) → one row per advertised sitemap:
+    (host, sitemap_url). The crawl-seeding companion to
+    :func:`robots_table` — feed the urls to a fetcher, then
+    :func:`extract_sitemap_locs` turns the XML into frontier seeds."""
+    return fetched.select(
+        F.col(host_col).alias("host"),
+        F.explode(extract_sitemaps(F.col(content_col))).alias("sitemap_url"),
+    )
+
+
+def extract_sitemap_locs(xml: Column) -> Column:
+    """``<loc>`` URLs from a sitemap / sitemap-index XML document
+    (sitemaps.org schema) — JVM regex over the text, tolerant of
+    whitespace inside the element; callers route ``<sitemapindex>``
+    results back through a fetch and leaf ``<urlset>`` results into
+    frontier expansion."""
+    return F.transform(
+        F.regexp_extract_all(
+            F.coalesce(xml, F.lit("")),
+            F.lit(r"(?is)<loc\s*>\s*([^<]+?)\s*</loc\s*>"),
+            F.lit(1),
+        ),
+        lambda u: F.trim(u),
+    )
+
+
 def politeness_budget(
     crawl_delay_s: Column, *, round_seconds: float = 30.0, max_budget: int = 1000
 ) -> Column:

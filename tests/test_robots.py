@@ -193,3 +193,80 @@ def test_dashboard_snapshot(spark):
     assert all(r["uptime_human"].endswith("s") for r in top)
     lb_rows = dash["leaderboard"].collect()
     assert lb_rows[0]["nickname"] == "b"  # sorted desc by jobs
+
+
+def test_sitemap_extraction(spark):
+    """r05: Sitemap: directives are group-independent, case-insensitive,
+    multiple allowed; sitemap XML <loc> extraction feeds frontier
+    seeding — all JVM-side."""
+    txt = "\n".join(
+        [
+            "SITEMAP: https://a.com/sm1.xml",
+            "User-agent: *",
+            "Disallow: /x",
+            "sitemap:\thttps://a.com/sm2.xml  # trailing comment",
+            "User-agent: foo",
+            "Sitemap: https://cdn.other.com/sm3.xml",
+        ]
+    )
+    df = spark.createDataFrame(
+        [("a.com", txt), ("b.com", "User-agent: *\nDisallow: /"), ("c.com", None)],
+        ["host", "robots_txt"],
+    )
+    rows = sorted(
+        (r["host"], r["sitemap_url"])
+        for r in rb.sitemaps_table(df).collect()
+    )
+    assert rows == [
+        ("a.com", "https://a.com/sm1.xml"),
+        ("a.com", "https://a.com/sm2.xml"),
+        ("a.com", "https://cdn.other.com/sm3.xml"),
+    ]
+    # sitemap directives never leak into the rule groups
+    parsed = rb.robots_table(df).collect()
+    assert {r["host"]: r["disallow_prefixes"] for r in parsed}["a.com"] == ["/x"]
+
+    xml = (
+        '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/'
+        'schemas/sitemap/0.9"><url><loc>https://a.com/p1</loc>'
+        "<lastmod>2020-01-01</lastmod></url>"
+        "<url><LOC> https://a.com/p2 </LOC></url>"
+        "<url><loc>\nhttps://a.com/p3\n</loc></url></urlset>"
+    )
+    locs = spark.createDataFrame([(xml,), (None,), ("<urlset/>",)], "xml string")
+    got = [
+        list(r["locs"])
+        for r in locs.select(rb.extract_sitemap_locs(F.col("xml")).alias("locs")).collect()
+    ]
+    assert got == [
+        ["https://a.com/p1", "https://a.com/p2", "https://a.com/p3"],
+        [],
+        [],
+    ]
+
+
+def test_sitemap_locs_seed_frontier(spark):
+    """End-to-end: robots Sitemap: -> fetched XML -> <loc> seeds ->
+    expand_frontier schedules them (canonicalized, budgeted)."""
+    import datetime as dt
+
+    from crawlingathome_server_spark.plans.rounds import expand_frontier
+
+    xml = (
+        "<urlset><url><loc>HTTP://Seed.example.com:80/a?b=2&amp;a=1</loc></url>"
+        "<url><loc>http://seed.example.com/b</loc></url></urlset>"
+    )
+    fetched = spark.createDataFrame([("seed.example.com", xml)], ["host", "xml"])
+    seeds = fetched.select(
+        F.explode(rb.extract_sitemap_locs(F.col("xml"))).alias("url"),
+        F.lit(dt.datetime(2020, 9, 13, tzinfo=dt.timezone.utc)).alias("warc_ts"),
+    )
+    out = sorted(
+        r["canon_url"]
+        for r in expand_frontier(seeds, None, seed=1, default_budget=10).collect()
+    )
+    # &amp; stays literal (we extract text, not entity-decode — documented)
+    assert out == [
+        "http://seed.example.com/a?amp;a=1&b=2",
+        "http://seed.example.com/b",
+    ], out
