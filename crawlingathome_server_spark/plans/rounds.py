@@ -754,7 +754,14 @@ class RoundEngine:
         n_reaped = n_before - workers.count()
 
         open_now = None
-        if use_sidecar:
+        if use_sidecar and completions is None and n_reaped == 0:
+            # nothing re-opened or promoted this round — the parent
+            # sidecar IS the post-transition open set; skip the splice
+            open_now = self.store.read(spark, self.OPEN_SIDECAR)
+            claim_input = open_now.withColumn(
+                "pending", F.lit(False)
+            ).withColumn("closed", F.lit(False))
+        elif use_sidecar:
             # The round's pre-claim transitions (completions, reaper) can
             # RE-OPEN or promote rows that must be claimable this same
             # round (server order: completions before claims). Their key
