@@ -421,9 +421,10 @@ def run_bench(spark, sf_dir: str) -> dict:
     # stores, 2M and 16M rows at the same 1% open fraction: the patch
     # round's cost should be near-FLAT in table size now that the claim
     # ranks over the sidecar (the remaining growth is the narrow merge
-    # point-read, a sort-free columnar scan). After the round (one live
-    # MOR layer — the steady state), the claim contrast on the 16M
-    # store: sidecar claim (O(open) reconstruction) vs the r04 path
+    # point-read, a sort-free columnar scan). After three committed
+    # rounds (3 live MOR layers on both tables — the steady state), the
+    # claim contrast on the 16M store: sidecar claim (O(open)
+    # reconstruction) vs the r04 path
     # (full frontier MOR reconstruction + rank). Best-of-2, noop sink.
     from crawlingathome_server_spark.operators import claim as claim_op
 
@@ -443,6 +444,11 @@ def run_bench(spark, sf_dir: str) -> dict:
                 time.perf_counter() - t0, 4
             )
             if label == "16m":
+                # two more (untimed) rounds → 3 live MOR layers on both
+                # tables: the steady-state shape the claim contrast
+                # below should be measured against
+                eng.run_round(round_epoch=2, frontier_commit="patch")
+                eng.run_round(round_epoch=3, frontier_commit="patch")
                 n_open = store.read_manifest(store.latest_snapshot_id())[
                     "tables"
                 ][RoundEngine.OPEN_SIDECAR]["total_rows"]

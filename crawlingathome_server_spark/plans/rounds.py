@@ -873,6 +873,18 @@ class RoundEngine:
             "leaderboard": leaderboard,
             "cpu_leaderboard": cpu_leaderboard,
         }
+        # small-table commit hygiene: the leaderboards only change on
+        # completions, and workers only on completions/heartbeats/
+        # reaping — when a round provably left them untouched, inherit
+        # the parent's buckets instead of rewriting + recounting them
+        # (each skipped table saves a write job + a count-back job)
+        from ..sources.checkpoint import UNCHANGED
+
+        if completions is None:
+            deltas["leaderboard"] = UNCHANGED
+            deltas["cpu_leaderboard"] = UNCHANGED
+            if heartbeats is None and n_reaped == 0:
+                deltas["workers"] = UNCHANGED
         if use_sidecar:
             # sidecar maintenance is the same O(touched) upsert layer:
             # touched keys tombstone out, still-open touched rows
