@@ -856,16 +856,32 @@ class RoundEngine:
             sub_after = claim_op.apply_claims(
                 sub_after, claims, round_epoch=round_epoch
             ).cache()
-            deltas: dict = {
-                "frontier": Patch(sub_after, columns=self.FRONTIER_STATE_COLS)
-                if frontier_commit == "patch"
-                else Append(sub_after, remove_keys=Append.SAME)
-            }
+            # mode switching (r05): Append is bucket-granular and cannot
+            # see live merge-on-read layers — an append round following
+            # patch rounds FOLDS the frontier instead (full rewrite from
+            # the post-transition plan, layers cleared), same shape the
+            # chain-at-max fold takes
+            frontier_layers = bool(
+                parent_manifest["tables"]["frontier"].get("delta_layers")
+            )
+            deltas: dict = {}
+            if frontier_commit == "patch":
+                deltas["frontier"] = Patch(
+                    sub_after, columns=self.FRONTIER_STATE_COLS
+                )
+            elif not frontier_layers:
+                deltas["frontier"] = Append(sub_after, remove_keys=Append.SAME)
             stats_row = self._incremental_stats(
                 parent_counters, sub_before, sub_after, frontier
             )
         else:
-            deltas = {"frontier": touched}
+            # key-delta rewrite of changed buckets — unless live layers
+            # force a full rewrite (which also clears them)
+            deltas = (
+                {}
+                if parent_manifest["tables"]["frontier"].get("delta_layers")
+                else {"frontier": touched}
+            )
             stats_row = agg.frontier_stats(frontier).collect()[0].asDict()
         tables = {
             "frontier": frontier,

@@ -319,6 +319,54 @@ def test_two_stage_cpu_gpu_lifecycle(spark, tmp_path):
     assert "cpu-nick" not in lb and "gpu-nick" not in cpu_lb
 
 
+def test_frontier_commit_mode_switching(spark, tmp_path):
+    """r05: switching commit modes mid-crawl must work — append/rewrite
+    rounds after patch rounds FOLD the frontier (bucket-granular deltas
+    cannot see live MOR layers) and the resulting state matches an
+    all-rewrite drive of the same round sequence."""
+    def drive(modes, root):
+        store = CheckpointStore(str(tmp_path / root), n_partitions=8)
+        eng = RoundEngine(spark, store, seed=7)
+        eng.bootstrap(
+            dedup_by_number(datagen.frontier(spark, n=300)),
+            datagen.workers(spark),
+            round_epoch=0,
+        )
+        for ep, mode in enumerate(modes, start=1):
+            eng.run_round(round_epoch=ep, frontier_commit=mode)
+        return store
+
+    seq = ("patch", "append", "rewrite", "patch", "patch")
+    store_m = drive(seq, "mixed")
+    store_r = drive(("rewrite",) * len(seq), "allrw")
+    got = sorted(map(tuple, store_m.read(spark, "frontier").collect()))
+    want = sorted(map(tuple, store_r.read(spark, "frontier").collect()))
+    assert got == want
+    # the fold actually happened: after round 2 (append-after-patch) the
+    # frontier chain was cleared, and the final two patch rounds stack
+    # on the folded base
+    lineage = {m["snapshot_id"]: m for m in store_m.lineage()}
+    # bootstrap=snap1; round k=snap k+1: patch round stacked a layer,
+    # the append round folded it, rewrite stayed flat, final patches
+    # stacked two on the folded base
+    assert len(lineage[2]["tables"]["frontier"]["delta_layers"]) == 1
+    assert lineage[3]["tables"]["frontier"]["delta_layers"] == []
+    assert lineage[4]["tables"]["frontier"]["delta_layers"] == []
+    assert len(lineage[6]["tables"]["frontier"]["delta_layers"]) == 2
+    # sidecar stayed consistent throughout
+    sc = sorted(map(tuple, store_m.read(spark, RoundEngine.OPEN_SIDECAR).collect()))
+    open_want = sorted(
+        map(
+            tuple,
+            store_m.read(spark, "frontier")
+            .filter("not pending and not closed")
+            .select(*RoundEngine.SIDECAR_COLS)
+            .collect(),
+        )
+    )
+    assert sc == open_want
+
+
 def test_open_sidecar_tracks_open_set_and_claims_match(spark, tmp_path):
     """r05 open-set sidecar (VERDICT r04 #1): across mixed rounds —
     completions (incl. cpu→gpu promotions and postgres short-circuits),
