@@ -184,6 +184,35 @@ def robots_disallowed(
     return dis > longest_match_len(allow_prefixes, path)
 
 
+def robots_fetch_targets(
+    frontier: DataFrame,
+    robots: DataFrame | None,
+    *,
+    host_col: str = "host",
+    scheme: str = "http",
+) -> DataFrame:
+    """The robots-fetch worklist: every distinct frontier host with NO
+    row in the politeness dim table yet, emitted as (host, robots_url)
+    where robots_url = ``<scheme>://<host>/robots.txt`` (REP's
+    well-known location). The crawl loop fetches these, feeds the
+    bodies through :func:`robots_table`, and unions into the dim table
+    — hosts stay on the default budget until their row lands.
+
+    One distinct + one left-anti join on the (comparatively tiny) host
+    domain; the frontier side prunes to the host column at the scan."""
+    hosts = frontier.select(F.col(host_col).alias("host")).distinct()
+    if robots is not None:
+        hosts = hosts.join(
+            robots.select("host").distinct(), on="host", how="left_anti"
+        )
+    return hosts.select(
+        "host",
+        F.concat(F.lit(f"{scheme}://"), F.col("host"), F.lit("/robots.txt")).alias(
+            "robots_url"
+        ),
+    )
+
+
 def extract_sitemaps(content: Column) -> Column:
     """``Sitemap:`` directives from robots.txt — RFC 9309 §2.2.4-style
     "other records" / sitemaps.org protocol: one absolute URL per line,

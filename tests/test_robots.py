@@ -270,3 +270,28 @@ def test_sitemap_locs_seed_frontier(spark):
         "http://seed.example.com/a?amp;a=1&b=2",
         "http://seed.example.com/b",
     ], out
+
+
+def test_robots_fetch_targets(spark):
+    """r05: the robots-fetch worklist = distinct frontier hosts minus
+    hosts already in the dim table, at the REP well-known location."""
+    from crawlingathome_server_spark import datagen
+    from crawlingathome_server_spark.sources.seed import dedup_by_number
+
+    fr = dedup_by_number(datagen.frontier(spark, n=200))
+    all_hosts = {r["host"] for r in fr.select("host").distinct().collect()}
+    known = sorted(all_hosts)[:3]
+    rbt = rb.robots_table(
+        spark.createDataFrame(
+            [(h, "User-agent: *\nDisallow: /x") for h in known],
+            ["host", "robots_txt"],
+        )
+    )
+    got = {r["host"]: r["robots_url"]
+           for r in rb.robots_fetch_targets(fr, rbt).collect()}
+    assert set(got) == all_hosts - set(known)
+    for h, u in got.items():
+        assert u == f"http://{h}/robots.txt"
+    # no dim table at all -> every host; empty frontier -> nothing
+    assert rb.robots_fetch_targets(fr, None).count() == len(all_hosts)
+    assert rb.robots_fetch_targets(fr.limit(0), rbt).count() == 0
