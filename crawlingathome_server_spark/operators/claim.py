@@ -75,12 +75,21 @@ def claim_batch(
     Precondition: ``number`` is unique (it is the reference's PK,
     models.py:14; sources/seed.dedup_by_number enforces it at load).
 
-    Shuffle hygiene: the two rank phases run over a NARROW projection
-    (number, host, priority, order_key, salt, budget ≈ 40 B/row) — the
-    frontier's wide payload (urls, completor tokens, …) never rides the
-    sort-shuffles; winners join it back at the end, where AQE broadcasts
-    the (budget-bounded, small) winner set. At 10^10 rows this is the
+    Shuffle hygiene: the rank phases run over a FIXED-WIDTH projection
+    (number, priority, order_key, host_key [, budget] ≈ 40 B/row) — the
+    frontier's wide payload (urls, completor tokens, …) AND the host
+    string itself (r06: ~56 B/row of UnsafeRow traffic it used to add)
+    never ride the sort-shuffles; the politeness budget attaches via a
+    map-side broadcast join BEFORE the exchange, and winners join the
+    payload back at the end, where the (budget-bounded, small) winner
+    set broadcasts. Fixed-width-only rows keep the window sort runs
+    radix-friendly and halve shuffle bytes; at 10^10 rows this is the
     difference between shuffling ~400 GB and ~4 TB per round.
+
+    ``with_payload=False`` therefore returns the pure scheduling
+    decision set (number, priority, order_key, budget) WITHOUT
+    ``host_col`` — callers that need the host (or any payload column)
+    use the default payload join, which recovers every frontier column.
 
     Note on Spark's own top-k pushdown: with a LITERAL budget Catalyst
     plans a partial WindowGroupLimit before the exchange (map-side
@@ -104,6 +113,9 @@ def claim_batch(
     if robots is not None:
         # Politeness dim table is small (one row per host) → broadcast.
         # robots keys on 'host'; align it to the frontier's host column.
+        # This join runs map-side BEFORE the rank exchange, so the host
+        # string can drop right after it — only the fixed-width budget
+        # rides the shuffles.
         narrow = narrow.join(
             F.broadcast(
                 robots.select(
@@ -117,6 +129,7 @@ def claim_batch(
         ).drop("max_claims_per_round")
     else:
         narrow = narrow.withColumn("budget", F.lit(default_budget))
+    narrow = narrow.drop(host_col)
 
     order = (F.desc("priority"), F.asc("order_key"), F.asc("number"))
     w_host = Window.partitionBy("host_key").orderBy(*order)
@@ -154,10 +167,11 @@ def claim_batch(
 
     # The scheduling decision is the narrow winner set; downstream merges
     # (apply_claims) join on `number` anyway. Re-attach the wide payload
-    # only when the caller emits job specs to workers — winners are
-    # politeness-bounded (≤ Σ host budgets), so broadcast them and stream
-    # the big side instead of shuffling it.
-    payload_cols = [c for c in frontier.columns if c not in ("number", host_col, "priority")]
+    # (the host string included, since r06) only when the caller emits
+    # job specs to workers — winners are politeness-bounded (≤ Σ host
+    # budgets), so broadcast them and stream the big side instead of
+    # shuffling it.
+    payload_cols = [c for c in frontier.columns if c not in ("number", "priority")]
     if not with_payload or not payload_cols:
         return winners
     return F.broadcast(winners).join(

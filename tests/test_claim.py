@@ -194,7 +194,9 @@ def test_claim_under_pathological_host_skew(spark):
         fr, robots, seed=5, default_budget=3, salt_buckets=16,
         use_oracle_hash=True, with_payload=False,
     )
-    rows = got.collect()
+    # with_payload=False is the narrow decision set (no host string since
+    # r06 — it never rides the rank shuffles); join it back for grouping
+    rows = got.join(fr.select("number", "host"), on="number").collect()
     per_host = {}
     for r in rows:
         per_host.setdefault(r["host"], []).append(r)
