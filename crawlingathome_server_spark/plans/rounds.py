@@ -275,7 +275,40 @@ class CrawlEngine:
     expire at the start of a round and become claimable again. The
     cuckoo filter deletes them in O(expired); the bloom falls back to a
     rebuild (it cannot forget) — the measured contrast is in bench/tests.
+
+    ``discovery=True`` (r06, VERDICT r05 #2) drives the robots/sitemap
+    DISCOVERY loop as committed round steps (reference analogue: workers
+    continuously discovering new shards and update_db.py:31-41 seeding
+    them). Three more store tables ride every commit:
+
+    - ``robots_dim`` — the parsed politeness dim table (schemas.ROBOTS),
+      grown by :func:`~..functions.robots.robots_table` over the bodies
+      the caller fetched; used for this round's claim when the caller
+      passes no explicit ``robots``;
+    - ``robots_queue`` — (host, robots_url) worklist: every host this
+      round claimed from that has no dim row yet (REP well-known URL,
+      :func:`~..functions.robots.robots_fetch_targets`); the caller
+      fetches these and passes ``robots_fetched=(host, robots_txt)``
+      into the NEXT round;
+    - ``sitemap_queue`` — (sitemap_url, host) worklist from ``Sitemap:``
+      directives (and nested ``<sitemapindex>`` docs); the caller
+      fetches these and passes ``sitemap_fetched=(sitemap_url, host,
+      xml)``; leaf ``<urlset>`` locs seed the SAME round's frontier
+      expansion (they flow through dedup → seen-filter → politeness
+      claim like any discovered url).
+
+    All three commit as O(delta) Appends (new/fetched rows only) with
+    manifest counters (n_robots_fetched, n_sitemaps_discovered,
+    n_sitemap_seeds) — resume-safe like everything else in the store.
+    A host whose robots fetch failed should still be reported in
+    ``robots_fetched`` with a NULL body: it parses to the allow-all
+    default dim row and stops being re-queued.
     """
+
+    #: discovery-loop table names (``discovery=True``)
+    ROBOTS_DIM = "robots_dim"
+    ROBOTS_QUEUE = "robots_queue"
+    SITEMAP_QUEUE = "sitemap_queue"
 
     def __init__(
         self,
@@ -288,6 +321,9 @@ class CrawlEngine:
         rows_per_bucket: int = 4_000_000,
         filter_kind: str = "bloom",
         ttl_rounds: int | None = None,
+        discovery: bool = False,
+        agent: str = "*",
+        round_seconds: float = 30.0,
     ):
         if filter_kind not in ("bloom", "cuckoo"):
             raise ValueError(f"filter_kind must be 'bloom' or 'cuckoo': {filter_kind}")
@@ -296,6 +332,13 @@ class CrawlEngine:
         self.seed = seed
         self.default_budget = default_budget
         self.fpr = fpr
+        # discovery loop (r06): robots/sitemap worklists + politeness dim
+        # maintained as committed round steps; agent = the crawler's
+        # product token for RFC 9309 group selection, round_seconds sizes
+        # the crawl-delay → per-round budget conversion
+        self.discovery = discovery
+        self.agent = agent
+        self.round_seconds = round_seconds
         # filter_kind='cuckoo' swaps the seen-filter for the partitioned
         # cuckoo filter (urlseen.build_cuckoo_filter): ~0.01% FPR and
         # O(expired) incremental DELETION. ttl_rounds enables re-crawl:
@@ -405,6 +448,192 @@ class CrawlEngine:
         base = flt.join(F.broadcast(ids), on="bucket", how="left_semi")
         return urlseen.merge_seen_filters(base, delta)
 
+    # -- discovery loop (r06) ----------------------------------------------
+
+    def robots_worklist(self, spark: SparkSession | None = None) -> DataFrame:
+        """(host, robots_url) the caller's fetcher should fetch before the
+        next round (empty until a discovery round has run)."""
+        return self.store.read(spark or self.spark, self.ROBOTS_QUEUE)
+
+    def sitemap_worklist(self, spark: SparkSession | None = None) -> DataFrame:
+        """(sitemap_url, host) sitemap documents awaiting a fetch."""
+        return self.store.read(spark or self.spark, self.SITEMAP_QUEUE)
+
+    def _discovery_ingest(
+        self,
+        parent_manifest: dict,
+        robots_fetched: DataFrame | None,
+        sitemap_fetched: DataFrame | None,
+        round_epoch: int,
+    ) -> dict:
+        """Pre-claim discovery step: parse fetched robots bodies into the
+        politeness dim table, queue advertised (and nested-index) sitemap
+        urls, and turn leaf ``<urlset>`` locs into this round's frontier
+        seeds. Returns the working state :meth:`_discovery_finish` closes
+        out after the claim (the robots worklist needs the claimed host
+        set). All table updates are O(fetched + discovered) Appends."""
+        from .. import schemas
+        from ..functions import robots as rb
+
+        spark, store = self.spark, self.store
+        parent_tables = parent_manifest["tables"]
+
+        def _read_or_empty(name: str, schema) -> DataFrame:
+            if name in parent_tables:
+                return store.read(spark, name)
+            return spark.createDataFrame([], schema)
+
+        dim = _read_or_empty(self.ROBOTS_DIM, schemas.ROBOTS)
+        rqueue = _read_or_empty(self.ROBOTS_QUEUE, schemas.ROBOTS_QUEUE)
+        squeue = _read_or_empty(self.SITEMAP_QUEUE, schemas.SITEMAP_QUEUE)
+        caches: list[DataFrame] = []
+        n_robots_fetched = n_sitemaps_discovered = n_sitemap_seeds = 0
+        new_dim = fetched_hosts = None
+        new_sitemaps = fetched_sitemaps = seeds = None
+
+        if robots_fetched is not None:
+            robots_fetched = robots_fetched.dropDuplicates(["host"]).cache()
+            caches.append(robots_fetched)
+            n_robots_fetched = robots_fetched.count()
+            fetched_hosts = robots_fetched.select("host")
+            # a failed fetch (NULL body) parses to the allow-all default
+            # row — the host leaves the queue either way
+            new_dim = rb.robots_table(
+                robots_fetched, agent=self.agent, round_seconds=self.round_seconds
+            )
+            dim = dim.join(fetched_hosts, on="host", how="left_anti").unionByName(
+                new_dim
+            )
+            rqueue = rqueue.join(fetched_hosts, on="host", how="left_anti")
+            new_sitemaps = (
+                rb.sitemaps_table(robots_fetched)
+                .select("sitemap_url", "host")
+                .dropDuplicates(["sitemap_url"])
+            )
+
+        if sitemap_fetched is not None:
+            sitemap_fetched = sitemap_fetched.cache()
+            caches.append(sitemap_fetched)
+            fetched_sitemaps = sitemap_fetched.select("sitemap_url")
+            locs = sitemap_fetched.select(
+                "sitemap_url",
+                "host",
+                F.col("xml").rlike(r"(?is)<\s*sitemapindex").alias("__idx"),
+                F.explode(rb.extract_sitemap_locs(F.col("xml"))).alias("loc"),
+            )
+            # a <sitemapindex> doc's locs are MORE sitemaps (queue them);
+            # a leaf <urlset> doc's locs are page urls (seed them — they
+            # flow through dedup → seen filter → politeness claim)
+            nested = (
+                locs.filter(F.col("__idx"))
+                .select(F.col("loc").alias("sitemap_url"), "host")
+                .dropDuplicates(["sitemap_url"])
+            )
+            new_sitemaps = (
+                nested
+                if new_sitemaps is None
+                else new_sitemaps.unionByName(nested).dropDuplicates(["sitemap_url"])
+            )
+            seeds = (
+                locs.filter(~F.col("__idx"))
+                .select(
+                    F.col("loc").alias("url"),
+                    F.timestamp_seconds(F.lit(round_epoch)).alias("warc_ts"),
+                )
+                .cache()
+            )
+            caches.append(seeds)
+            n_sitemap_seeds = seeds.count()
+
+        if new_sitemaps is not None:
+            # already-queued and just-fetched urls don't re-enter
+            new_sitemaps = new_sitemaps.join(
+                squeue.select("sitemap_url"), on="sitemap_url", how="left_anti"
+            )
+            if fetched_sitemaps is not None:
+                new_sitemaps = new_sitemaps.join(
+                    fetched_sitemaps, on="sitemap_url", how="left_anti"
+                )
+            new_sitemaps = new_sitemaps.cache()
+            caches.append(new_sitemaps)
+            n_sitemaps_discovered = new_sitemaps.count()
+            squeue = squeue.unionByName(new_sitemaps)
+            if fetched_sitemaps is not None:
+                squeue = squeue.join(
+                    fetched_sitemaps, on="sitemap_url", how="left_anti"
+                )
+        elif fetched_sitemaps is not None:
+            squeue = squeue.join(fetched_sitemaps, on="sitemap_url", how="left_anti")
+
+        dim_rows_parent = parent_tables.get(self.ROBOTS_DIM, {}).get("total_rows", 0)
+        return {
+            "dim": dim,
+            "dim_nonempty": bool(dim_rows_parent or n_robots_fetched),
+            "rqueue": rqueue,
+            "squeue": squeue,
+            "seeds": seeds,
+            "new_dim": new_dim,
+            "new_sitemaps": new_sitemaps,
+            "fetched_hosts": fetched_hosts,
+            "fetched_sitemaps": fetched_sitemaps,
+            "first": self.ROBOTS_DIM not in parent_tables,
+            "caches": caches,
+            "counters": {
+                "n_robots_fetched": n_robots_fetched,
+                "n_sitemaps_discovered": n_sitemaps_discovered,
+                "n_sitemap_seeds": n_sitemap_seeds,
+            },
+        }
+
+    def _discovery_finish(self, disc: dict, claimed: DataFrame) -> None:
+        """Post-claim discovery step: every host this round claimed from
+        that is in neither the dim table nor the queue joins the robots
+        worklist (O(distinct claimed hosts) — the claim set is politeness-
+        bounded). Mutates ``disc`` in place with the final table contents
+        and O(delta) commit sentinels."""
+        from ..functions import robots as rb
+        from ..sources.checkpoint import UNCHANGED, Append
+
+        known = disc["dim"].select("host").unionByName(
+            disc["rqueue"].select("host")
+        )
+        new_targets = rb.robots_fetch_targets(claimed, known).cache()
+        disc["caches"].append(new_targets)
+        disc["counters"]["n_robots_queued"] = new_targets.count()
+        disc["rqueue"] = disc["rqueue"].unionByName(new_targets)
+
+        tables = {
+            self.ROBOTS_DIM: disc["dim"],
+            self.ROBOTS_QUEUE: disc["rqueue"],
+            self.SITEMAP_QUEUE: disc["squeue"],
+        }
+        deltas: dict = {}
+        if not disc["first"]:
+            # O(delta) appends; a table nothing touched this round
+            # inherits the parent's buckets outright
+            if disc["new_dim"] is not None:
+                deltas[self.ROBOTS_DIM] = Append(
+                    disc["new_dim"], remove_keys=Append.SAME
+                )
+            else:
+                deltas[self.ROBOTS_DIM] = UNCHANGED
+            if disc["counters"]["n_robots_queued"] or disc["fetched_hosts"] is not None:
+                deltas[self.ROBOTS_QUEUE] = Append(
+                    new_targets, remove_keys=disc["fetched_hosts"]
+                )
+            else:
+                deltas[self.ROBOTS_QUEUE] = UNCHANGED
+            if disc["new_sitemaps"] is not None or disc["fetched_sitemaps"] is not None:
+                deltas[self.SITEMAP_QUEUE] = Append(
+                    disc["new_sitemaps"]
+                    if disc["new_sitemaps"] is not None
+                    else disc["squeue"].limit(0),
+                    remove_keys=disc["fetched_sitemaps"],
+                )
+            else:
+                deltas[self.SITEMAP_QUEUE] = UNCHANGED
+        disc["tables"], disc["deltas"] = tables, deltas
+
     def run_round(
         self,
         pages: DataFrame,
@@ -412,18 +641,42 @@ class CrawlEngine:
         round_epoch: int,
         robots: DataFrame | None = None,
         extra_counters: dict | None = None,
+        robots_fetched: DataFrame | None = None,
+        sitemap_fetched: DataFrame | None = None,
     ) -> DataFrame:
         """One crawl round: returns the claimed (scheduled) URL set and
         commits S_{k+1} = (seen − expired) ∪ claimed + updated filter.
         ``extra_counters`` ride into the manifest (e.g. the streaming
-        driver's batch id for exactly-once replay skipping)."""
+        driver's batch id for exactly-once replay skipping).
+
+        ``robots_fetched`` (host, robots_txt) and ``sitemap_fetched``
+        (sitemap_url, host, xml) are the caller's fetch results for the
+        previous round's worklists (``discovery=True`` only — see the
+        class docstring); ingestion happens BEFORE this round's claim,
+        so a robots body parsed this round governs this round's
+        politeness and a leaf sitemap's urls are claimable this round."""
         spark, store = self.spark, self.store
         snap = store.latest_snapshot_id()
-        counters = store.read_manifest(snap)["counters"]
+        parent_manifest = store.read_manifest(snap)
+        counters = parent_manifest["counters"]
         n_seen, capacity = counters["n_seen"], counters["crawl_capacity"]
         params = counters.get("urlseen_params")
         seen_urls = store.read(spark, "seen_urls")
         flt = store.read(spark, urlseen.FILTER_TABLE) if params is not None else None
+
+        disc = None
+        if self.discovery:
+            disc = self._discovery_ingest(
+                parent_manifest, robots_fetched, sitemap_fetched, round_epoch
+            )
+            if robots is None and disc["dim_nonempty"]:
+                robots = disc["dim"]
+            if disc["seeds"] is not None:
+                pages = pages.select("url", "warc_ts").unionByName(disc["seeds"])
+        elif robots_fetched is not None or sitemap_fetched is not None:
+            raise ValueError(
+                "robots_fetched/sitemap_fetched need CrawlEngine(discovery=True)"
+            )
 
         # TTL expiry: urls seen ≥ ttl_rounds rounds ago become claimable
         # again. The exact set drops them; the cuckoo filter deletes them
@@ -480,6 +733,8 @@ class CrawlEngine:
                 )
             claimed = claimed.cache()
             n_claimed = claimed.count()
+            if disc is not None:
+                self._discovery_finish(disc, claimed)
             new_seen = claimed.select(
                 "canon_url", F.lit(round_epoch).cast("long").alias("seen_epoch")
             )
@@ -514,11 +769,14 @@ class CrawlEngine:
                 deltas[urlseen.FILTER_TABLE] = Append(
                     changed_flt, remove_keys=Append.SAME
                 )
+            if disc is not None:
+                deltas.update(disc["deltas"])
 
             store.commit(
                 {
                     "seen_urls": seen_urls.unionByName(new_seen),
                     urlseen.FILTER_TABLE: flt,
+                    **(disc["tables"] if disc is not None else {}),
                 },
                 seed=self.seed,
                 round_epoch=round_epoch,
@@ -528,6 +786,7 @@ class CrawlEngine:
                     "n_expired": n_expired,
                     "crawl_capacity": capacity,
                     "urlseen_params": params,
+                    **(disc["counters"] if disc is not None else {}),
                     # the streaming driver's exactly-once replay skip
                     # reads stream_batch_id from the LATEST manifest —
                     # a non-stream round interleaved between commits
@@ -554,7 +813,8 @@ class CrawlEngine:
                 )
             return claimed
         finally:
-            for cached in (expired_df, flt_cached, changed_flt, claimed):
+            disc_caches = disc["caches"] if disc is not None else []
+            for cached in (expired_df, flt_cached, changed_flt, claimed, *disc_caches):
                 if cached is not None:
                     cached.unpersist()
 

@@ -69,6 +69,24 @@ ROBOTS = T.StructType(
     ]
 )
 
+# Discovery-loop worklist tables (r06): CrawlEngine emits these per round
+# and the caller's fetcher drains them — hosts whose robots.txt is not in
+# the politeness dim table yet, and advertised sitemap documents awaiting
+# a fetch. Keyed on their first column (store contract).
+ROBOTS_QUEUE = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("robots_url", T.StringType(), False),
+    ]
+)
+
+SITEMAP_QUEUE = T.StructType(
+    [
+        T.StructField("sitemap_url", T.StringType(), False),
+        T.StructField("host", T.StringType(), True),
+    ]
+)
+
 # Mirrors Leaderboard / CPU_Leaderboard (models.py:82-100).
 LEADERBOARD = T.StructType(
     [

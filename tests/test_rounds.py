@@ -1661,3 +1661,142 @@ def test_crawl_engine_survives_snapshot_expiry(spark, tmp_path):
     claimed4 = eng.run_round(_crawl_pages(spark, 4), round_epoch=4)
     got4 = {x["canon_url"] for x in claimed4.collect()}
     assert not got4 & seen_all
+
+
+def test_crawl_engine_discovery_loop(spark, tmp_path):
+    """r06 (VERDICT r05 #2): the engine drives the robots→sitemap→seed
+    discovery cycle as COMMITTED round steps. Round 1 claims from pages
+    and queues the unknown hosts' robots.txt worklist; round 2 ingests
+    the fetched bodies (politeness dim grows — its Disallow governs that
+    same round's claim — and advertised sitemaps queue, nested
+    <sitemapindex> docs re-queue their children); round 4 — run by a
+    FRESH engine over the same store (resume-safe) — claims urls seeded
+    from the sitemap discovered in earlier rounds, with every step's
+    counters in the manifest."""
+    import datetime as dt
+
+    from crawlingathome_server_spark.plans.rounds import CrawlEngine
+
+    ts = dt.datetime(2021, 1, 1)
+
+    def _pages(rows):
+        return spark.createDataFrame(
+            [(u, ts) for u in rows], schema="url string, warc_ts timestamp"
+        )
+
+    def _engine(store):
+        return CrawlEngine(
+            spark, store, seed=7, default_budget=1 << 20,
+            discovery=True, agent="ourbot",
+        )
+
+    store = CheckpointStore(str(tmp_path / "disc"), n_partitions=4)
+    eng = _engine(store)
+    eng.bootstrap()
+
+    # round 1: two unknown hosts → both enter the robots worklist
+    c1 = eng.run_round(
+        _pages(["http://sitea.example.com/p/1", "http://siteb.example.com/p/2"]),
+        round_epoch=1,
+    )
+    assert c1.count() == 2
+    wl = {r["host"]: r["robots_url"] for r in eng.robots_worklist().collect()}
+    assert wl == {
+        "sitea.example.com": "http://sitea.example.com/robots.txt",
+        "siteb.example.com": "http://siteb.example.com/robots.txt",
+    }
+    m1 = store.read_manifest(store.latest_snapshot_id())["counters"]
+    assert m1["n_robots_queued"] == 2 and m1["n_robots_fetched"] == 0
+
+    # round 2: the caller fetched both robots bodies (one failed → NULL =
+    # allow-all default row). sitea disallows /private and advertises a
+    # sitemap INDEX. The round's own claim must honor the new dim rows.
+    robots_bodies = spark.createDataFrame(
+        [
+            (
+                "sitea.example.com",
+                "User-agent: ourbot\nDisallow: /private\n"
+                "User-agent: *\nDisallow: /\n"
+                "Sitemap: http://sitea.example.com/sitemap_index.xml\n",
+            ),
+            ("siteb.example.com", None),
+        ],
+        schema="host string, robots_txt string",
+    )
+    c2 = eng.run_round(
+        _pages(
+            [
+                "http://sitea.example.com/private/secret",
+                "http://sitea.example.com/p/3",
+                "http://sitec.example.com/p/4",
+            ]
+        ),
+        round_epoch=2,
+        robots_fetched=robots_bodies,
+    )
+    got2 = {r["canon_url"] for r in c2.collect()}
+    # the specific-agent group (ourbot) governs: /private dropped, /p/3
+    # claimable (the * group's Disallow:/ must NOT apply to our agent)
+    assert got2 == {"http://sitea.example.com/p/3", "http://sitec.example.com/p/4"}
+    m2 = store.read_manifest(store.latest_snapshot_id())["counters"]
+    assert m2["n_robots_fetched"] == 2 and m2["n_sitemaps_discovered"] == 1
+    # fetched hosts left the queue; the newly-claimed host entered it
+    assert {r["host"] for r in eng.robots_worklist().collect()} == {
+        "sitec.example.com"
+    }
+    assert [r["sitemap_url"] for r in eng.sitemap_worklist().collect()] == [
+        "http://sitea.example.com/sitemap_index.xml"
+    ]
+
+    # round 3: the fetched doc is a <sitemapindex> → child queued, no seeds
+    index_xml = (
+        "<sitemapindex><sitemap>"
+        "<loc>http://sitea.example.com/sitemap_a.xml</loc>"
+        "</sitemap></sitemapindex>"
+    )
+    eng.run_round(
+        _pages([]),
+        round_epoch=3,
+        sitemap_fetched=spark.createDataFrame(
+            [("http://sitea.example.com/sitemap_index.xml", "sitea.example.com", index_xml)],
+            schema="sitemap_url string, host string, xml string",
+        ),
+    )
+    m3 = store.read_manifest(store.latest_snapshot_id())["counters"]
+    assert m3["n_sitemap_seeds"] == 0 and m3["n_sitemaps_discovered"] == 1
+    assert [r["sitemap_url"] for r in eng.sitemap_worklist().collect()] == [
+        "http://sitea.example.com/sitemap_a.xml"
+    ]
+
+    # round 4, FRESH engine over the same store (resume): the leaf
+    # <urlset> seeds enter this round's frontier and get claimed —
+    # except the robots-disallowed one and the already-seen one
+    eng2 = _engine(CheckpointStore(str(tmp_path / "disc")))
+    leaf_xml = (
+        "<urlset>"
+        "<url><loc> http://sitea.example.com/sm/1 </loc></url>"
+        "<url><loc>http://sitea.example.com/sm/2</loc></url>"
+        "<url><loc>http://sitea.example.com/private/sm3</loc></url>"
+        "<url><loc>http://sitea.example.com/p/3</loc></url>"
+        "</urlset>"
+    )
+    c4 = eng2.run_round(
+        _pages([]),
+        round_epoch=4,
+        sitemap_fetched=spark.createDataFrame(
+            [("http://sitea.example.com/sitemap_a.xml", "sitea.example.com", leaf_xml)],
+            schema="sitemap_url string, host string, xml string",
+        ),
+    )
+    got4 = {r["canon_url"] for r in c4.collect()}
+    assert got4 == {
+        "http://sitea.example.com/sm/1",
+        "http://sitea.example.com/sm/2",
+    }
+    m4 = store.read_manifest(store.latest_snapshot_id())["counters"]
+    assert m4["n_sitemap_seeds"] == 4
+    assert eng2.sitemap_worklist().count() == 0
+    # dim rows persisted across the restart (2 fetched hosts)
+    assert store.read_manifest(store.latest_snapshot_id())["tables"][
+        CrawlEngine.ROBOTS_DIM
+    ]["total_rows"] == 2
