@@ -172,12 +172,41 @@ class Patch:
 class CheckpointStore:
     """Single-writer, snapshot-isolated table store with lineage."""
 
-    def __init__(self, root: str, n_partitions: int = 8, patch_layers_max: int = 16):
+    #: per-live-layer read overhead ≈ 2·this (measured: BENCH/
+    #: patch_read.json r05 — read ≈ 0.98 + 0.21·k s at k layers); the
+    #: adaptive chain bound minimizes fold_cost/max + this·max
+    LAYER_HALF_SLOPE_S = 0.105
+    #: fixed job overhead of any full-rewrite commit (scheduling, file
+    #: listing, manifest) — floors the fold-cost estimate for tiny tables
+    FOLD_FIXED_S = 2.0
+    #: conservative fold write-throughput prior, used only until the
+    #: store has MEASURED a full rewrite of the table (recorded per
+    #: table as ``fold_bps`` in the manifest)
+    DEFAULT_FOLD_BPS = 40_000_000
+
+    def __init__(
+        self,
+        root: str,
+        n_partitions: int = 8,
+        patch_layers_max: int | str = 16,
+    ):
+        if patch_layers_max != "auto" and not isinstance(patch_layers_max, int):
+            raise ValueError(
+                f"patch_layers_max must be an int or 'auto': {patch_layers_max!r}"
+            )
         self.root = root
         self.n_partitions = n_partitions
         #: merge-on-read chain bound: a Patch commit that would create
         #: layer patch_layers_max+1 folds the table instead (full rewrite,
-        #: amortized O(1) per round like the filter capacity rebuilds)
+        #: amortized O(1) per round like the filter capacity rebuilds).
+        #: ``"auto"`` (r06, VERDICT r05 #4) sizes the bound per table from
+        #: the measured trade-off instead of a constant: per-round
+        #: overhead(max) ≈ fold_cost/max + LAYER_HALF_SLOPE_S·max is
+        #: minimized at max* = sqrt(fold_cost/half_slope), with fold_cost
+        #: estimated from the table's base bytes over the last MEASURED
+        #: full-rewrite throughput (every full write records its
+        #: bytes/sec into the manifest) — so big frontiers keep long
+        #: cheap chains and small dashboards fold early.
         self.patch_layers_max = patch_layers_max
         os.makedirs(root, exist_ok=True)
         # Reopening an existing store adopts the latest manifest's bucket
@@ -209,6 +238,51 @@ class CheckpointStore:
 
     def _bucket(self, key_col, n_partitions: int | None = None) -> F.Column:
         return F.pmod(F.xxhash64(key_col), F.lit(n_partitions or self.n_partitions))
+
+    @staticmethod
+    def _bytes_under(path: str) -> int:
+        total = 0
+        for dirpath, _, files in os.walk(path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(dirpath, fn))
+        return total
+
+    @classmethod
+    def _table_bytes(cls, meta_t: dict) -> int:
+        """On-disk base bytes of a table from its manifest entry (cheap:
+        a few dozen getsize calls — bucket dirs hold few files)."""
+        return sum(
+            cls._bytes_under(p["path"])
+            for p in (meta_t.get("partitions") or {}).values()
+            if p.get("path") and os.path.isdir(p["path"])
+        )
+
+    def layers_bound(self, parent_meta_t: dict | None) -> int:
+        """The live merge-on-read chain bound for a table: the fixed
+        ``patch_layers_max``, or — under ``"auto"`` — the measured-cost
+        optimum max* = sqrt(fold_cost / LAYER_HALF_SLOPE_S), where
+        fold_cost = FOLD_FIXED_S + table_bytes / fold_bps (fold_bps =
+        the last measured full-rewrite throughput of this table,
+        DEFAULT_FOLD_BPS until one exists). Clamped to [2, 256]."""
+        if self.patch_layers_max != "auto":
+            return self.patch_layers_max
+        import math
+
+        meta_t = parent_meta_t or {}
+        bps = meta_t.get("fold_bps") or self.DEFAULT_FOLD_BPS
+        fold_cost = self.FOLD_FIXED_S + self._table_bytes(meta_t) / bps
+        return max(2, min(256, round(math.sqrt(fold_cost / self.LAYER_HALF_SLOPE_S))))
+
+    def adaptive_layers_bound(self, name: str) -> int:
+        """The bound a Patch commit against ``name`` would use right now."""
+        latest = self.latest_snapshot_id()
+        meta = (
+            self.read_manifest(latest)["tables"].get(name, {})
+            if latest is not None
+            else {}
+        )
+        return self.layers_bound(meta)
 
     @staticmethod
     def _written_counts(spark: SparkSession, path: str) -> dict[str, int]:
@@ -304,6 +378,8 @@ class CheckpointStore:
             layers: list = []
             total_override: int | None = None
             total_exact: bool = True
+            # carried fold-throughput telemetry; refreshed by full rewrites
+            fold_bps = parent_meta_t.get("fold_bps")
 
             if isinstance(delta, Patch):
                 if name not in parent_tables:
@@ -321,7 +397,7 @@ class CheckpointStore:
                             f"columns={want} cannot stack on them — fold "
                             "(full rewrite / compact) first"
                         )
-                if len(parent_layers) >= self.patch_layers_max:
+                if len(parent_layers) >= self.layers_bound(parent_meta_t):
                     delta = None  # fold: full rewrite clears the chain
             elif (
                 parent_layers
@@ -495,7 +571,17 @@ class CheckpointStore:
                     )
                     to_write = part_df.filter(F.col("__part").isin(changed))
                 path = os.path.join(snap_dir, name)
+                t0 = time.perf_counter()
                 to_write.write.mode("overwrite").partitionBy("__part").parquet(path)
+                write_sec = time.perf_counter() - t0
+                if not isinstance(delta, Append) and len(changed) == eff_parts:
+                    # a FULL rewrite measures this table's fold
+                    # throughput — the live input to the adaptive
+                    # chain bound (layers_bound); tiny/fast writes are
+                    # too noise-dominated to calibrate on
+                    nbytes = self._bytes_under(path)
+                    if nbytes >= (1 << 20) and write_sec >= 0.5:
+                        fold_bps = int(nbytes / write_sec)
                 # per-bucket counts from the WRITTEN files (parquet
                 # metadata scan), not by re-running the plan — for a
                 # committed filter table that second run would rebuild
@@ -528,6 +614,9 @@ class CheckpointStore:
                 # false only while an upsert layer without a declared
                 # rows_delta is live; folds restore exactness
                 "total_rows_exact": total_exact,
+                # measured full-rewrite throughput (bytes/s) feeding the
+                # adaptive layers_bound; None until a full write happened
+                "fold_bps": fold_bps,
                 # schema pinned in the manifest so empty tables (zero parquet
                 # files under partitionBy) reconstruct exactly on read
                 "schema_json": df.schema.json(),

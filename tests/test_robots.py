@@ -86,6 +86,40 @@ def test_consecutive_user_agent_lines_share_group():
     assert rb._parse_one("User-agent: foo\nDisallow: /x", agent="zzz") == (1.0, [], [])
 
 
+def test_empty_disallow_group_overrides_star(spark):
+    """RFC 9309 group exclusivity (VERDICT r05 #7): a specific-agent
+    group consisting of ONLY an empty ``Disallow:`` (= allow-all) still
+    SELECTS — the crawler follows that group exclusively and the ``*``
+    group's disallows must not leak in. End-to-end through the verdict
+    expression too."""
+    txt = "\n".join(
+        [
+            "User-agent: mybot",
+            "Disallow:",  # empty value: no rule, but a RULE LINE (ends the UA run)
+            "User-agent: *",
+            "Disallow: /",
+        ]
+    )
+    assert rb._parse_one(txt, agent="mybot") == (1.0, [], [])
+    # everyone else keeps the star group's blanket disallow
+    assert rb._parse_one(txt, agent="other")[1] == ["/"]
+    # the empty Disallow: line must also TERMINATE the UA run — a star
+    # group opening right after it is a NEW group, not a co-heading
+    dim = rb.robots_table(
+        spark.createDataFrame([("h.example.com", txt)], "host string, robots_txt string"),
+        agent="mybot",
+    ).collect()[0]
+    assert dim["disallow_prefixes"] == []
+    verdict = spark.range(1).select(
+        rb.robots_disallowed(
+            F.lit("/anything"),
+            F.lit(dim["disallow_prefixes"]).cast("array<string>"),
+            F.lit(dim["allow_prefixes"]).cast("array<string>"),
+        ).alias("d")
+    ).collect()[0]["d"]
+    assert verdict is False
+
+
 def test_robots_table_agent_param(spark):
     df = spark.createDataFrame([("a.com", SAMPLE)], ["host", "robots_txt"])
     star = rb.robots_table(df, round_seconds=30).collect()[0]

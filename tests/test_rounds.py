@@ -793,6 +793,102 @@ def test_patch_upsert_layer(spark, tmp_path):
         Patch(base, rows_delta=1)
 
 
+def test_chain_max_fold_repairs_inexact_upsert_totals(spark, tmp_path):
+    """VERDICT r05 #5: an upsert layer committed WITHOUT rows_delta
+    leaves total_rows flagged inexact; the AUTOMATIC chain-at-max fold
+    (a Patch commit that would exceed patch_layers_max falls back to the
+    full rewrite of the caller's tables plan) must recompute the total
+    from the written files — exact again and equal to a full count."""
+    from crawlingathome_server_spark.sources.checkpoint import Patch
+
+    store = CheckpointStore(str(tmp_path / "fold"), n_partitions=4, patch_layers_max=2)
+
+    def rows(lo, hi, epoch):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("u"), F.col("id")).alias("canon_url"),
+            F.lit(epoch).cast("long").alias("seen_epoch"),
+        )
+
+    store.commit({"t": rows(0, 50, 1)}, seed=1, round_epoch=0)
+    # two undeclared upserts: 10 inserts each -> totals stuck at 50, inexact
+    for i in (1, 2):
+        sid = store.commit(
+            {"t": rows(0, 50, 1)}, seed=1, round_epoch=i,
+            deltas={"t": Patch(rows(100 * i, 100 * i + 10, i + 1), upsert=True)},
+        )
+        meta = store.read_manifest(sid)["tables"]["t"]
+        assert meta["total_rows"] == 50 and meta["total_rows_exact"] is False
+        assert len(meta["delta_layers"]) == i
+    # third Patch would make layer 3 > max=2 -> the commit FOLDS: it
+    # ignores the delta and full-writes the tables plan (here: the true
+    # current content plus the would-be patch rows, like RoundEngine
+    # always passes)
+    current = store.read(spark, "t").unionByName(rows(300, 305, 4))
+    sid = store.commit(
+        {"t": current}, seed=1, round_epoch=3,
+        deltas={"t": Patch(rows(300, 305, 4), upsert=True)},
+    )
+    meta = store.read_manifest(sid)["tables"]["t"]
+    assert meta["delta_layers"] == []  # chain cleared
+    assert meta["total_rows_exact"] is True
+    assert meta["total_rows"] == store.read(spark, "t", sid).count() == 75
+
+
+def test_adaptive_patch_layers_bound(spark, tmp_path):
+    """VERDICT r05 #4: patch_layers_max='auto' sizes the merge-on-read
+    chain bound per table from the measured trade-off max* =
+    sqrt(fold_cost / half_slope) — small tables fold early, big tables
+    keep longer (cheaper-per-round) chains — and the live chain actually
+    folds at the adaptive bound."""
+    import os as _os
+
+    from crawlingathome_server_spark.sources.checkpoint import Patch
+
+    with pytest.raises(ValueError, match="auto"):
+        CheckpointStore(str(tmp_path / "bad"), patch_layers_max="sometimes")
+
+    store = CheckpointStore(str(tmp_path / "auto"), n_partitions=4,
+                            patch_layers_max="auto")
+    # no table yet: fixed-overhead floor -> sqrt(2.0/0.105) ~ 4
+    assert store.layers_bound({}) == 4
+    # a 420 MB base at the 40 MB/s prior: fold ~12.5 s -> bound 11
+    big = tmp_path / "bigpart"
+    big.mkdir()
+    f = big / "part-0.parquet"
+    f.write_bytes(b"")
+    _os.truncate(f, 420_000_000)
+    meta_big = {"partitions": {"0": {"path": str(big), "rows": 1}}}
+    assert store.layers_bound(meta_big) == 11
+    # a MEASURED faster fold shortens the chain it justifies
+    assert store.layers_bound({**meta_big, "fold_bps": 200_000_000}) == 6
+    # monotone in table size
+    assert store.layers_bound({}) <= store.layers_bound(meta_big) <= 256
+
+    # end-to-end: a tiny table folds at the adaptive bound (4)
+    def rows(epoch):
+        return spark.range(0, 200).select(
+            F.concat(F.lit("u"), F.col("id")).alias("canon_url"),
+            F.lit(epoch).cast("long").alias("seen_epoch"),
+        )
+
+    store.commit({"t": rows(0)}, seed=1, round_epoch=0)
+    bound = store.adaptive_layers_bound("t")
+    assert bound == 4
+    for i in range(1, bound + 2):
+        store.commit(
+            {"t": rows(i)}, seed=1, round_epoch=i,
+            deltas={"t": Patch(rows(i).limit(10), upsert=True, rows_delta=0)},
+        )
+        n_layers = len(
+            store.read_manifest(store.latest_snapshot_id())["tables"]["t"][
+                "delta_layers"
+            ]
+        )
+        # chain stacks up to the bound, then the next Patch folds it
+        assert n_layers == (i if i <= bound else 0)
+    assert store.read(spark, "t").count() == 200
+
+
 def test_patch_duplicate_keys_fail_loud(spark, tmp_path):
     """ADVICE r04: duplicate keys within one Patch layer would resolve
     nondeterministically in the reconstruction window — the commit must

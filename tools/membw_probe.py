@@ -25,6 +25,23 @@ probe on this box — calibration: membw 131→207 GB/s, cpu ~2.9× for
 8→32). An unsound probe must not anchor a ceiling claim; callers fall
 back to the documented calibration constants and say so.
 
+Two refinements learned from the first gated run (r06):
+
+- **Self-load correction.** The probe's own bursts (up to 32 runnable
+  processes) leak into the 1-min load average the gate reads — by the
+  sequence's tail every burst self-rejects on its predecessors. Each
+  sample therefore records BOTH the raw load and a corrected load =
+  raw − the probe's own modeled contribution (each burst of W workers
+  over d seconds adds W·(1−e^(−d/60)) to the 1-min EMA and decays as
+  e^(−Δt/60)); acceptance gates on the CORRECTED load, i.e. on the
+  neighbors only. The model state threads across consecutive probes
+  (``self_load``), so a cpu probe run right after a membw probe isn't
+  poisoned by it either.
+- **Warmup attempt.** The first burst per sequence reads low (allocator
+  page-ins, turbo settle — measured 29 vs 124 GB/s on otherwise-quiet
+  samples); attempt 0 is recorded but flagged ``warmup`` and excluded
+  from the per-level best.
+
 Calibration on the sandbox box 2026-08-16 (load avg ~1.6):
 
     membw: {"1": 15.5, "2": 34.1, "4": 67.7, "8": 131.0, "16": 185.7, "32": 207.2}
@@ -97,29 +114,65 @@ def measure(levels: tuple[int, ...] = (1, 2, 4, 8, 16, 32)) -> dict[int, float]:
     return {procs: round(_burst(worker, procs), 1) for procs in levels}
 
 
+class SelfLoad:
+    """Running estimate of THIS process tree's own contribution to the
+    1-min load average (the kernel's EMA with a 60 s time constant): a
+    burst of W runnable workers over d seconds adds W·(1−e^(−d/60)),
+    and the whole estimate decays e^(−Δt/60) between observations."""
+
+    def __init__(self) -> None:
+        self.value = 0.0
+        self._t = time.monotonic()
+
+    def now(self) -> float:
+        t = time.monotonic()
+        import math
+
+        self.value *= math.exp(-(t - self._t) / 60.0)
+        self._t = t
+        return self.value
+
+    def add_burst(self, workers: int, duration_s: float) -> None:
+        import math
+
+        self.now()
+        self.value += workers * (1.0 - math.exp(-duration_s / 60.0))
+
+
 def measure_gated(
     kind: str = "membw",
     levels: tuple[int, ...] = (8, 32),
     attempts: int = 5,
     reject_load: float = REJECT_LOAD,
+    self_load: SelfLoad | None = None,
 ) -> dict:
     """Interleaved, load-gated probe (protocol in the module docstring).
 
-    Returns ``{"kind", "unit", "samples": [{level, value, load, accepted}],
-    "best": {level: max-accepted-or-None}, "n_rejected", "sound"}``.
+    Returns ``{"kind", "unit", "samples": [{level, value, load,
+    load_corrected, warmup, accepted}], "best": {level:
+    max-accepted-or-None}, "n_rejected", "sound"}``. Pass the same
+    ``self_load`` tracker across consecutive probes so one probe's
+    bursts don't gate-reject the next probe's samples.
     """
     target, unit = (worker, "GB/s") if kind == "membw" else (cpu_worker, "Mops/s")
+    sl = self_load if self_load is not None else SelfLoad()
     samples: list[dict] = []
-    for _ in range(attempts):
+    for attempt in range(attempts):
         for level in levels:  # interleave: every attempt touches every level
-            load = round(os.getloadavg()[0], 2)
+            raw = os.getloadavg()[0]
+            corrected = max(0.0, raw - sl.now())
+            t0 = time.monotonic()
             val = round(_burst(target, level), 1)
+            sl.add_burst(level, time.monotonic() - t0)
+            warmup = attempt == 0
             samples.append(
                 {
                     "level": level,
                     "value": val,
-                    "load": load,
-                    "accepted": load <= reject_load,
+                    "load": round(raw, 2),
+                    "load_corrected": round(corrected, 2),
+                    "warmup": warmup,
+                    "accepted": (not warmup) and corrected <= reject_load,
                 }
             )
     best: dict[int, float | None] = {}

@@ -108,12 +108,42 @@ def main() -> None:
             )
             if k in CHECKPOINTS:
                 results[f"layers_{k}"] = timed_reads()
-        # post-fold baseline: compact clears the chain
+        # post-fold baseline: compact clears the chain — timing it IS the
+        # measured fold cost the adaptive bound trades against
+        t0 = time.perf_counter()
         store.compact(spark, seed=1, round_epoch=99)
-        assert not store.read_manifest(store.latest_snapshot_id())["tables"][
+        fold_sec = round(time.perf_counter() - t0, 3)
+        post_meta = store.read_manifest(store.latest_snapshot_id())["tables"][
             "frontier"
-        ]["delta_layers"]
+        ]
+        assert not post_meta["delta_layers"]
         results["post_fold"] = timed_reads()
+
+        # VERDICT r05 #4: per-round chain overhead(max) ≈ fold_sec/max +
+        # half_slope·max (amortized fold + average read amplification),
+        # evaluated at the fixed-16 default vs the store's adaptive
+        # bound (layers_bound from the fold_bps this run just measured)
+        half_slope = (
+            results[f"layers_{MAX_LAYERS}"]["full_read_sec"]
+            - results["layers_0"]["full_read_sec"]
+        ) / MAX_LAYERS / 2
+        tuned = CheckpointStore(
+            root + "_na", patch_layers_max="auto"
+        ).layers_bound(post_meta)
+
+        def overhead(mx: int) -> float:
+            return round(fold_sec / mx + half_slope * mx, 3)
+
+        tuning = {
+            "fold_sec_measured": fold_sec,
+            "fold_bps_measured": post_meta.get("fold_bps"),
+            "read_half_slope_sec_per_layer": round(half_slope, 4),
+            "patch_layers_max_tuned": tuned,
+            "per_round_overhead_tuned_sec": overhead(tuned),
+            "per_round_overhead_fixed16_sec": overhead(16),
+            "tuned_le_fixed16": overhead(tuned) <= overhead(16),
+        }
+        shutil.rmtree(root + "_na", ignore_errors=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()
@@ -129,6 +159,7 @@ def main() -> None:
         "protocol": "best-of-2, noop sink; column-granular layers "
         "(key + 7 state cols), RoundEngine shape",
         **flat,
+        "adaptive_bound": tuning,
     }
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     with open("/root/repo/BENCH/patch_read.json", "w") as f:

@@ -168,11 +168,15 @@ def _measure_ceilings() -> dict:
     from membw_probe import (
         CALIB_CPU_CEILING_8_32,
         CALIB_MEMBW_FLOOR_8_32,
+        SelfLoad,
         measure_gated,
     )
 
-    membw = measure_gated("membw")
-    cpu = measure_gated("cpu")
+    # one self-load tracker across both probes: the membw bursts must
+    # not gate-reject the cpu probe's samples (r06 refinement)
+    sl = SelfLoad()
+    membw = measure_gated("membw", self_load=sl)
+    cpu = measure_gated("cpu", self_load=sl)
     if cpu["sound"]:
         cpu_ceiling = round(min(cpu["best"]["32"] / cpu["best"]["8"] / 4, 1.0), 2)
     else:
