@@ -101,8 +101,9 @@ def claim_batch(
     cand = frontier.filter(open_jobs(frontier, stage))
     # Rank over a numeric host key, not the host string: the window
     # sort comparator then touches only fixed-width numerics (Tungsten
-    # radix-friendly); the string rides along as payload. 64-bit hash
-    # collisions would merely merge two hosts' budgets (P ≈ n²/2⁶⁵).
+    # radix-friendly), and since r06 the string itself never enters the
+    # rank shuffles at all. 64-bit hash collisions would merely merge
+    # two hosts' budgets (P ≈ n²/2⁶⁵).
     narrow = (
         cand.select("number", host_col, "priority")
         .withColumn("order_key", ok)
@@ -127,8 +128,6 @@ def claim_batch(
         ).withColumn(
             "budget", F.coalesce(F.col("max_claims_per_round"), F.lit(default_budget))
         ).drop("max_claims_per_round")
-    else:
-        narrow = narrow.withColumn("budget", F.lit(default_budget))
     narrow = narrow.drop(host_col)
 
     order = (F.desc("priority"), F.asc("order_key"), F.asc("number"))
@@ -138,11 +137,14 @@ def claim_batch(
         # Literal budget → Catalyst plans a partial WindowGroupLimit
         # (map-side per-host top-k BEFORE the exchange), which already
         # bounds hot-host shuffle volume; salting would only add a second
-        # sort. One window, skew-safe.
+        # sort. One window, skew-safe. The constant budget rides as a
+        # filter literal and attaches as a column only on the winner
+        # set — the shuffle rows stay at 4 longs (~40 B incl. null set).
         winners = (
             narrow.withColumn("rn", F.row_number().over(w_host))
             .filter(F.col("rn") <= F.lit(default_budget))
             .drop("rn")
+            .withColumn("budget", F.lit(default_budget))
         )
     else:
         # Per-host column budget → no WindowGroupLimit pushdown possible;
