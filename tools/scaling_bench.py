@@ -89,16 +89,23 @@ def run_level(cores: int, job: str = "claim") -> dict:
     # 8.5→6.6 s with 32→64 partitions; local[32] 3.3→3.0 s with
     # 128→256 in the same quiet window).
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    extra_conf = {
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        # sandbox disk is slow; shuffle through tmpfs so the bench
+        # measures compute scaling, not overlay-fs write throughput
+        "spark.local.dir": "/dev/shm/spark-graft-shuffle",
+    }
+    # A/B knob (experiments only — the recorded protocol leaves it unset):
+    # tmpfs shuffle pays no IO for raw bytes, so lz4 framing may be pure
+    # CPU overhead — or a bandwidth saver; measure, don't guess
+    if os.environ.get("SCALING_BENCH_NO_SHUFFLE_COMPRESS"):
+        extra_conf["spark.shuffle.compress"] = "false"
+        extra_conf["spark.shuffle.spill.compress"] = "false"
     spark = get_spark(
         app_name=f"scaling[{cores}]",
         cores=cores,
         shuffle_partitions=8 * cores,
-        extra_conf={
-            "spark.sql.adaptive.coalescePartitions.enabled": "false",
-            # sandbox disk is slow; shuffle through tmpfs so the bench
-            # measures compute scaling, not overlay-fs write throughput
-            "spark.local.dir": "/dev/shm/spark-graft-shuffle",
-        },
+        extra_conf=extra_conf,
     )
     loads: list[float] = []
     if job == "frontier":
@@ -322,10 +329,29 @@ def main():
     print(json.dumps(summary))
 
 
+#: an attempt only QUALIFIES for surfacing when neither level's best
+#: round ran under a neighbor burst and the two levels saw comparable
+#: conditions. Without this, a burst that crushes ONE level inflates the
+#: ratio — observed r06: an 8-level best at load 45-85 paired with a
+#: clean 32-level recorded a misleading 0.752. Thresholds: the 32-level
+#: self-load alone reads ~10-20, so ≤24 tolerates normal self+ambient;
+#: the ratio bound rejects one-sided bursts.
+QUALIFY_MAX_LOAD = 24.0
+QUALIFY_LOAD_RATIO = 3.0
+
+
+def _load_qualified(load_avg: dict) -> bool:
+    l8, l32 = load_avg["local_8"], load_avg["local_32"]
+    hi, lo = max(l8, l32), max(min(l8, l32), 0.1)
+    return hi <= QUALIFY_MAX_LOAD and hi / lo <= QUALIFY_LOAD_RATIO
+
+
 def _merge_literal(summary: dict, results8: dict, results32: dict) -> dict:
     """Append this run's literal attempt to the history and surface the
-    best recorded attempt (monotone across re-runs — the sandbox's noisy
-    neighbors make any single attempt a lottery draw)."""
+    best recorded LOAD-QUALIFIED attempt (monotone across re-runs — the
+    sandbox's noisy neighbors make any single attempt a lottery draw; an
+    attempt whose level loads are asymmetric or burst-ridden stays in
+    the history flagged ``load_qualified: false`` but never surfaces)."""
     out_path = "/root/repo/BENCH/scaling.json"
     attempt = {
         "efficiency": summary["literal_8_vs_32"]["efficiency"],
@@ -343,9 +369,20 @@ def _merge_literal(summary: dict, results8: dict, results32: dict) -> dict:
         same_protocol = (
             best_prior.get("local_8", {}).get("n_rows") == results8["n_rows"]
         )
-        if best_prior.get("efficiency", -1) > summary["literal_8_vs_32"][
-            "efficiency"
-        ] and "load_avg" in best_prior and same_protocol:
+        this_q = _load_qualified(summary["literal_8_vs_32"]["load_avg"])
+        prior_q = "load_avg" in best_prior and _load_qualified(
+            best_prior["load_avg"]
+        )
+        # prefer qualified over unqualified; among equals, higher efficiency
+        keep_prior = same_protocol and "load_avg" in best_prior and (
+            (prior_q and not this_q)
+            or (
+                prior_q == this_q
+                and best_prior.get("efficiency", -1)
+                > summary["literal_8_vs_32"]["efficiency"]
+            )
+        )
+        if keep_prior:
             # keep the prior best RESULT but refresh its ceiling
             # telemetry with this session's gated probe record (r06
             # keys; drop any pre-r06 probe shape) and recompute the
@@ -360,6 +397,12 @@ def _merge_literal(summary: dict, results8: dict, results32: dict) -> dict:
             summary["literal_8_vs_32"] = best_prior
     except (FileNotFoundError, json.JSONDecodeError, KeyError):
         pass
+    for a in attempts:  # (re)stamp qualification, older entries included
+        if "load_avg" in a:
+            a["load_qualified"] = _load_qualified(a["load_avg"])
+    summary["literal_8_vs_32"]["load_qualified"] = _load_qualified(
+        summary["literal_8_vs_32"]["load_avg"]
+    )
     summary["literal_attempts"] = attempts
     return summary
 
@@ -485,8 +528,13 @@ politeness claim over {N_ROWS // 8:,} expression-built page URLs:
 **Literal 8→32 efficiency = {eff_lit:.3f}** at the loads above.
 Per-round 1-min load averages ride in scaling.json `round_load`, and
 every attempt's (efficiency, loads) accumulates in `literal_attempts` —
-the surfaced pair is the best recorded attempt, so the artifact carries
-its own qualifying telemetry instead of a prose claim.
+the surfaced pair is the best recorded LOAD-QUALIFIED attempt (max
+level load ≤ {QUALIFY_MAX_LOAD:.0f} and load ratio ≤
+{QUALIFY_LOAD_RATIO:.0f}×, r06: a one-sided neighbor burst that crushes
+only the 8-level INFLATES the ratio — one such attempt recorded 0.752
+with the 8-level at load 45-85 and is kept in the history flagged
+`load_qualified: false`, never surfaced), so the artifact carries its
+own qualifying telemetry instead of a prose claim.
 
 Hardware ceilings measured LIVE this session by the gated probe
 protocol (`tools/membw_probe.py measure_gated`, r06 — 8/32 bursts
