@@ -12,6 +12,14 @@ three samples landed inside a neighbor burst):
   multiply-add loop — no DRAM traffic, so its 8→32 aggregate-throughput
   ratio measures the SMT + neighbor CPU ceiling (the r04 one-off
   measurement behind the documented 0.72 constant, now live telemetry).
+  Streaming ALU work is the workload class SMT helps MOST, so this is
+  the band's optimistic top.
+- **sort** (r06): each worker repeatedly ``np.sort``s a hash-scrambled
+  32 MiB int64 array — branchy comparisons over a cache-busting working
+  set that contends for the shared L3, i.e. the workload class the
+  claim job's Tungsten window sort actually belongs to and the one SMT
+  helps LEAST. Its 8→32 ratio is the faithful ceiling anchor for a
+  sort-dominated job; the scaled gate uses it (clamped into the band).
 
 Gating protocol (``measure_gated``): bursts for the two levels are
 INTERLEAVED (8, 32, 8, 32, …) the way the bench rounds already are; the
@@ -64,6 +72,9 @@ REJECT_LOAD = 4.0
 #: documented calibration fallbacks when a live probe is unsound
 CALIB_MEMBW_FLOOR_8_32 = 0.40
 CALIB_CPU_CEILING_8_32 = 0.72
+#: sort-analog fallback: the r04 generic pure-CPU probe (2.9×/4 = 0.72)
+#: predates the workload split; reuse it until a sound sort probe lands
+CALIB_SORT_CEILING_8_32 = 0.72
 
 
 def worker(q, dur: float = 2.0, mb: int = 256) -> None:
@@ -95,6 +106,23 @@ def cpu_worker(q, dur: float = 2.0) -> None:
         n += 16
     dt = time.perf_counter() - t0
     q.put(n * len(x) / dt / 1e6)
+
+
+def sort_worker(q, dur: float = 2.0, n: int = 4_000_000) -> None:
+    """Repeated sort of a hash-scrambled 32 MiB int64 array — the
+    claim-job-analog workload (comparison sort over a working set that
+    overflows private caches and contends for shared L3). Reports
+    M elements sorted/s. Deterministic scramble, fresh copy per pass."""
+    import numpy as np
+
+    base = (np.arange(n, dtype=np.int64) * 2654435761) & ((1 << 62) - 1)
+    sorted_n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < dur:
+        np.sort(base, kind="quicksort")
+        sorted_n += n
+    dt = time.perf_counter() - t0
+    q.put(sorted_n / dt / 1e6)
 
 
 def _burst(target, procs: int) -> float:
@@ -154,7 +182,11 @@ def measure_gated(
     ``self_load`` tracker across consecutive probes so one probe's
     bursts don't gate-reject the next probe's samples.
     """
-    target, unit = (worker, "GB/s") if kind == "membw" else (cpu_worker, "Mops/s")
+    target, unit = {
+        "membw": (worker, "GB/s"),
+        "cpu": (cpu_worker, "Mops/s"),
+        "sort": (sort_worker, "Msorted/s"),
+    }[kind]
     sl = self_load if self_load is not None else SelfLoad()
     samples: list[dict] = []
     for attempt in range(attempts):
@@ -204,7 +236,11 @@ if __name__ == "__main__":
     import sys
 
     if "--gated" in sys.argv:
-        kind = "cpu" if "--cpu" in sys.argv else "membw"
+        kind = "membw"
+        if "--cpu" in sys.argv:
+            kind = "cpu"
+        elif "--sort" in sys.argv:
+            kind = "sort"
         print(json.dumps(measure_gated(kind)))
     else:
         main()
