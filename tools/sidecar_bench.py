@@ -94,8 +94,8 @@ def main() -> None:
                 times[label].append(round(time.perf_counter() - t0, 3))
         best_s, best_f = min(times["sidecar"]), min(times["full"])
         out = {
-            "metric": "sidecar vs full-scan claim, 64M rows / 1pct open / "
-            f"{n_layers} live MOR layers",
+            "metric": f"sidecar vs full-scan claim, {N_ROWS:,} rows / "
+            f"1pct open / {n_layers} live MOR layers",
             "n_rows": N_ROWS,
             "open_frac_bootstrap": OPEN_FRAC,
             "n_open_at_measure": n_open,
