@@ -397,17 +397,22 @@ def _merge_literal(summary: dict, results8: dict, results32: dict) -> dict:
             )
         )
         if keep_prior:
-            # keep the prior best RESULT but refresh its ceiling
-            # telemetry with this session's gated probe record (r06
-            # keys; drop any pre-r06 probe shape) and recompute the
-            # scaled gate against the surfaced efficiency
+            # keep the prior best RESULT; refresh its ceiling telemetry
+            # with this session's gated probe record ONLY when doing so
+            # doesn't downgrade soundness (a later burst-corrupted probe
+            # run must not replace a fully-sound measurement), then
+            # recompute the scaled gate against the surfaced efficiency
             this = summary["literal_8_vs_32"]
             best_prior.pop("membw_probe_gbps", None)
-            best_prior["hw_probes"] = this["hw_probes"]
-            best_prior["ceiling_band"] = this["ceiling_band"]
-            gate = dict(this["scaled_gate"])
+            prior_probes_sound = (
+                best_prior.get("hw_probes", {}).get("sound", False)
+            )
+            if this["hw_probes"]["sound"] or not prior_probes_sound:
+                best_prior["hw_probes"] = this["hw_probes"]
+                best_prior["ceiling_band"] = this["ceiling_band"]
+                best_prior["scaled_gate"] = dict(this["scaled_gate"])
+            gate = best_prior["scaled_gate"]
             gate["pass"] = best_prior["efficiency"] >= gate["threshold"]
-            best_prior["scaled_gate"] = gate
             summary["literal_8_vs_32"] = best_prior
     except (FileNotFoundError, json.JSONDecodeError, KeyError):
         pass
