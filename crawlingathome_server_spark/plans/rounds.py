@@ -42,6 +42,7 @@ def expand_frontier(
     use_bloom: bool = False,
     seen_filter: tuple[DataFrame, dict] | None = None,
     follow_links: bool = False,
+    extra_candidates: DataFrame | None = None,
 ) -> DataFrame:
     """The flagship query: next round's fetch set from crawled pages.
 
@@ -118,6 +119,13 @@ def expand_frontier(
         )
     else:
         candidates = pages.select("url", "warc_ts")
+    if extra_candidates is not None:
+        # DIRECT candidates (e.g. sitemap-seeded urls, r06) join the
+        # stream after link extraction — they are fetch targets
+        # themselves, not documents to mine for hrefs
+        candidates = candidates.unionByName(
+            extra_candidates.select("url", "warc_ts")
+        )
 
     canon = (
         candidates
@@ -324,6 +332,7 @@ class CrawlEngine:
         discovery: bool = False,
         agent: str = "*",
         round_seconds: float = 30.0,
+        follow_links: bool = False,
     ):
         if filter_kind not in ("bloom", "cuckoo"):
             raise ValueError(f"filter_kind must be 'bloom' or 'cuckoo': {filter_kind}")
@@ -339,6 +348,11 @@ class CrawlEngine:
         self.discovery = discovery
         self.agent = agent
         self.round_seconds = round_seconds
+        # follow_links=True: each round's candidates are the crawled
+        # pages' OUTGOING hrefs (expand_frontier's explode+resolve path)
+        # instead of the page urls themselves — the true frontier-
+        # expansion crawl; pages then need an `html` column
+        self.follow_links = follow_links
         # filter_kind='cuckoo' swaps the seen-filter for the partitioned
         # cuckoo filter (urlseen.build_cuckoo_filter): ~0.01% FPR and
         # O(expired) incremental DELETION. ttl_rounds enables re-crawl:
@@ -671,8 +685,6 @@ class CrawlEngine:
             )
             if robots is None and disc["dim_nonempty"]:
                 robots = disc["dim"]
-            if disc["seeds"] is not None:
-                pages = pages.select("url", "warc_ts").unionByName(disc["seeds"])
         elif robots_fetched is not None or sitemap_fetched is not None:
             raise ValueError(
                 "robots_fetched/sitemap_fetched need CrawlEngine(discovery=True)"
@@ -715,21 +727,22 @@ class CrawlEngine:
                 else:
                     expired.unpersist()
 
+            expand_kw = dict(
+                seed=self.seed + round_epoch,
+                default_budget=self.default_budget,
+                follow_links=self.follow_links,
+                extra_candidates=disc["seeds"] if disc is not None else None,
+            )
             if params is not None:
                 claimed = expand_frontier(
-                    pages,
-                    robots,
-                    seed=self.seed + round_epoch,
-                    default_budget=self.default_budget,
-                    seen_filter=(flt, params),
+                    pages, robots, seen_filter=(flt, params), **expand_kw
                 )
             else:
                 claimed = expand_frontier(
                     pages,
                     robots,
                     seen_urls=seen_urls if n_seen else None,
-                    seed=self.seed + round_epoch,
-                    default_budget=self.default_budget,
+                    **expand_kw,
                 )
             claimed = claimed.cache()
             n_claimed = claimed.count()

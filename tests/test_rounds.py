@@ -1896,3 +1896,64 @@ def test_crawl_engine_discovery_loop(spark, tmp_path):
     assert store.read_manifest(store.latest_snapshot_id())["tables"][
         CrawlEngine.ROBOTS_DIM
     ]["total_rows"] == 2
+
+
+def test_crawl_engine_follow_links_mode(spark, tmp_path):
+    """r06: CrawlEngine(follow_links=True) expands the frontier from the
+    crawled pages' OUTGOING hrefs (relative links resolved against the
+    page) rather than the page urls, while discovery seeds stay DIRECT
+    candidates (a sitemap url is a fetch target, not a document to mine
+    for links)."""
+    import datetime as dt
+
+    from crawlingathome_server_spark.plans.rounds import CrawlEngine
+
+    ts = dt.datetime(2021, 1, 1)
+    schema = "url string, warc_ts timestamp, html string"
+    store = CheckpointStore(str(tmp_path / "fl"), n_partitions=4)
+    eng = CrawlEngine(
+        spark, store, seed=7, default_budget=1 << 20,
+        discovery=True, follow_links=True,
+    )
+    eng.bootstrap()
+
+    pages = spark.createDataFrame(
+        [(
+            "http://h.example.com/a",
+            ts,
+            '<html><body><a href="/b">x</a>'
+            '<a href="http://other.example.com/c">y</a>'
+            '<a href="mailto:z@q">no</a></body></html>',
+        )],
+        schema=schema,
+    )
+    c1 = eng.run_round(pages, round_epoch=1)
+    got1 = {r["canon_url"] for r in c1.collect()}
+    # the hrefs, not the fetched page itself
+    assert got1 == {"http://h.example.com/b", "http://other.example.com/c"}
+
+    # seed a sitemap url chain: robots body advertises a leaf sitemap,
+    # whose <loc>s must be claimed DIRECTLY (never href-mined)
+    eng.run_round(
+        spark.createDataFrame([], schema=schema),
+        round_epoch=2,
+        robots_fetched=spark.createDataFrame(
+            [("h.example.com", "Sitemap: http://h.example.com/sm.xml\n")],
+            schema="host string, robots_txt string",
+        ),
+    )
+    c3 = eng.run_round(
+        spark.createDataFrame([], schema=schema),
+        round_epoch=3,
+        sitemap_fetched=spark.createDataFrame(
+            [(
+                "http://h.example.com/sm.xml",
+                "h.example.com",
+                "<urlset><url><loc>http://h.example.com/from-sitemap</loc>"
+                "</url></urlset>",
+            )],
+            schema="sitemap_url string, host string, xml string",
+        ),
+    )
+    got3 = {r["canon_url"] for r in c3.collect()}
+    assert got3 == {"http://h.example.com/from-sitemap"}
