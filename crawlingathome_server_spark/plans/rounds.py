@@ -467,11 +467,25 @@ class CrawlEngine:
     def robots_worklist(self, spark: SparkSession | None = None) -> DataFrame:
         """(host, robots_url) the caller's fetcher should fetch before the
         next round (empty until a discovery round has run)."""
-        return self.store.read(spark or self.spark, self.ROBOTS_QUEUE)
+        return self._worklist(spark, self.ROBOTS_QUEUE, "ROBOTS_QUEUE")
 
     def sitemap_worklist(self, spark: SparkSession | None = None) -> DataFrame:
         """(sitemap_url, host) sitemap documents awaiting a fetch."""
-        return self.store.read(spark or self.spark, self.SITEMAP_QUEUE)
+        return self._worklist(spark, self.SITEMAP_QUEUE, "SITEMAP_QUEUE")
+
+    def _worklist(self, spark, table: str, schema_name: str) -> DataFrame:
+        from .. import schemas
+
+        spark = spark or self.spark
+        snap = self.store.latest_snapshot_id()
+        if (
+            snap is None
+            or table not in self.store.read_manifest(snap)["tables"]
+        ):
+            # before the first discovery round the queue tables don't
+            # exist yet — an empty worklist, not an error
+            return spark.createDataFrame([], getattr(schemas, schema_name))
+        return self.store.read(spark, table)
 
     def _discovery_ingest(
         self,

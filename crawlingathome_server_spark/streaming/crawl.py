@@ -36,6 +36,7 @@ def run_crawl_stream(
     max_files_per_trigger: int = 1,
     available_now: bool = True,
     trigger_interval: str | None = None,
+    fetcher=None,
 ) -> Any:
     """Wire a parquet page stream into ``engine`` (a CrawlEngine whose
     store is already bootstrapped). One micro-batch = one crawl round
@@ -47,7 +48,18 @@ def run_crawl_stream(
     ingestion, firing on Spark's ASAP trigger or, when
     ``trigger_interval`` is given (e.g. ``"1 seconds"``), on a
     processingTime cadence — the deployment mode where pages keep
-    landing while the crawl runs. Returns the StreamingQuery."""
+    landing while the crawl runs. Returns the StreamingQuery.
+
+    ``fetcher`` (r06, discovery engines): a callable
+    ``(spark, engine, batch_id) -> dict`` invoked at the START of each
+    micro-batch, returning optional ``robots_fetched`` (host,
+    robots_txt) and ``sitemap_fetched`` (sitemap_url, host, xml)
+    DataFrames — the caller's fetch results for the worklists the
+    PREVIOUS round committed (read them via ``engine.robots_worklist``/
+    ``engine.sitemap_worklist``). The batch's round then ingests them
+    exactly like batch mode: robots rules govern this round's claim,
+    leaf sitemap locs seed this round's frontier. Replayed batches skip
+    the round entirely, fetcher included (exactly-once holds)."""
     from .. import schemas
 
     pages = (
@@ -62,11 +74,14 @@ def run_crawl_stream(
         last = counters.get("stream_batch_id")
         if last is not None and batch_id <= last:
             return  # replayed after restart — this round already committed
+        fetched = fetcher(spark, engine, batch_id) if fetcher is not None else {}
         engine.run_round(
             batch_df,
             round_epoch=epoch_base + batch_id + 1,
             robots=robots,
             extra_counters={"stream_batch_id": batch_id},
+            robots_fetched=fetched.get("robots_fetched"),
+            sitemap_fetched=fetched.get("sitemap_fetched"),
         )
 
     writer = pages.writeStream.foreachBatch(process).option(

@@ -407,3 +407,91 @@ def test_crawl_stream_live_trigger_feeds_mid_stream(spark, tmp_path):
     seen_b = sorted(r["canon_url"] for r in store_b.read(spark, "seen_urls").collect())
     seen_s = sorted(r["canon_url"] for r in store_s.read(spark, "seen_urls").collect())
     assert seen_s == seen_b and len(seen_s) > 0
+
+
+def test_crawl_stream_discovery_fetcher(spark, tmp_path):
+    """r06: the streaming crawl drives the DISCOVERY loop too — a
+    fetcher callback runs at each micro-batch start, drains the
+    worklists the previous round committed, and this round ingests its
+    results. Three one-file batches: batch 0 claims from a new host and
+    queues its robots.txt; batch 1's fetcher returns the body (which
+    advertises a sitemap); batch 2's fetcher returns the sitemap XML and
+    the round claims its <loc> urls."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from crawlingathome_server_spark.plans.rounds import CrawlEngine
+    from crawlingathome_server_spark.sources.checkpoint import CheckpointStore
+    from crawlingathome_server_spark.streaming.crawl import run_crawl_stream
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    store = CheckpointStore(str(tmp_path / "disc_stream"), n_partitions=4)
+    eng = CrawlEngine(
+        spark, store, seed=5, default_budget=1 << 20, discovery=True
+    )
+    eng.bootstrap()
+
+    def pages(urls):
+        return spark.createDataFrame(
+            [(u, dt.datetime(2021, 1, 1), None, None, None) for u in urls],
+            schema="url string, warc_ts timestamp, html binary, "
+            "text string, lang string",
+        )
+
+    # three files -> three micro-batches (maxFilesPerTrigger=1)
+    pages(["http://hosta.example.com/p/1"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    pages([]).coalesce(1).write.mode("append").parquet(src)
+    pages([]).coalesce(1).write.mode("append").parquet(src)
+
+    def fetcher(spark_, engine, batch_id):
+        out = {}
+        rq = engine.robots_worklist(spark_).collect()
+        if rq:
+            out["robots_fetched"] = spark_.createDataFrame(
+                [
+                    (r["host"], f"Sitemap: http://{r['host']}/sm.xml\n")
+                    for r in rq
+                ],
+                schema="host string, robots_txt string",
+            )
+        sq = engine.sitemap_worklist(spark_).collect()
+        if sq:
+            out["sitemap_fetched"] = spark_.createDataFrame(
+                [
+                    (
+                        s["sitemap_url"],
+                        s["host"],
+                        f"<urlset><url><loc>http://{s['host']}/from-sitemap"
+                        f"</loc></url></urlset>",
+                    )
+                    for s in sq
+                ],
+                schema="sitemap_url string, host string, xml string",
+            )
+        return out
+
+    q = run_crawl_stream(spark, eng, src, ckpt, fetcher=fetcher)
+    assert q.awaitTermination(240)
+
+    counters = store.read_manifest(store.latest_snapshot_id())["counters"]
+    assert counters["n_robots_fetched"] == 0  # batch 2 fetched no robots
+    seen = {
+        r["canon_url"] for r in store.read(spark, "seen_urls").collect()
+    }
+    assert "http://hosta.example.com/from-sitemap" in seen
+    assert "http://hosta.example.com/p/1" in seen
+    # the dim table landed and persists
+    dim = store.read(spark, CrawlEngine.ROBOTS_DIM).collect()
+    assert [d["host"] for d in dim] == ["hosta.example.com"]
+    # lineage records the discovery counters round by round
+    per_round = {
+        m["round_epoch"]: m["counters"]
+        for m in store.lineage()
+        if "n_robots_fetched" in m.get("counters", {})
+    }
+    assert per_round[2]["n_robots_fetched"] == 1
+    assert per_round[2]["n_sitemaps_discovered"] == 1
+    assert per_round[3]["n_sitemap_seeds"] == 1
