@@ -65,6 +65,7 @@ def claim_batch(
     host_col: str = "host",
     use_oracle_hash: bool = False,
     with_payload: bool = True,
+    robots_broadcast: bool = True,
 ) -> DataFrame:
     """Select this round's claims: per-host politeness-budgeted top-k.
 
@@ -112,17 +113,20 @@ def claim_batch(
 
     budget_is_literal = robots is None
     if robots is not None:
-        # Politeness dim table is small (one row per host) → broadcast.
-        # robots keys on 'host'; align it to the frontier's host column.
-        # This join runs map-side BEFORE the rank exchange, so the host
-        # string can drop right after it — only the fixed-width budget
-        # rides the shuffles.
+        # Politeness dim table is one row per host → broadcast by
+        # default so the join runs map-side BEFORE the rank exchange
+        # and the host string can drop right after it — only the
+        # fixed-width budget rides the shuffles. A deployment whose dim
+        # outgrows broadcast (10^7+ hosts × rule arrays) passes
+        # robots_broadcast=False: the hint drops and Catalyst/AQE picks
+        # the join strategy from stats (SMJ on host at the extreme).
+        dim = robots.select(
+            F.col("host").alias(host_col), "max_claims_per_round"
+        )
+        if robots_broadcast:
+            dim = F.broadcast(dim)
         narrow = narrow.join(
-            F.broadcast(
-                robots.select(
-                    F.col("host").alias(host_col), "max_claims_per_round"
-                )
-            ),
+            dim,
             on=host_col,
             how="left",
         ).withColumn(

@@ -43,6 +43,7 @@ def expand_frontier(
     seen_filter: tuple[DataFrame, dict] | None = None,
     follow_links: bool = False,
     extra_candidates: DataFrame | None = None,
+    robots_broadcast: bool = True,
 ) -> DataFrame:
     """The flagship query: next round's fetch set from crawled pages.
 
@@ -149,9 +150,11 @@ def expand_frontier(
             "disallow_prefixes",
             *(["allow_prefixes"] if has_allow else []),
         )
+        if robots_broadcast:
+            rules = F.broadcast(rules)
         path = F.regexp_replace(F.col("canon_url"), r"^[a-z]+://[^/]+", "")
         canon = (
-            canon.join(F.broadcast(rules), on="host", how="left")
+            canon.join(rules, on="host", how="left")
             .withColumn(
                 "__disallowed",
                 robots_disallowed(
@@ -230,6 +233,7 @@ def expand_frontier(
         stage="cpu",
         default_budget=default_budget,
         salt_buckets=salt_buckets,
+        robots_broadcast=robots_broadcast,
     )
     return claimed.select(
         "url", "canon_url", "host", "url_hash", "priority", "order_key", "budget"
