@@ -383,6 +383,50 @@ def run_bench(spark, sf_dir: str) -> dict:
         shutil.rmtree(crawl_root, ignore_errors=True)
     timings["crawl_round_2m_commit"] = crawl_round_s
 
+    # r06 discovery loop at dim scale: round 1 (untimed) claims 2M urls
+    # across 50k NEW hosts and queues all 50k robots.txt fetches; round 2
+    # (timed, single-shot) ingests 50k fetched bodies — RFC 9309 parse
+    # into the politeness dim (whose Disallow/crawl-delay govern that
+    # same round's claim), 50k advertised sitemaps queued — plus the 1M
+    # new-url claim and all the O(delta) Append commits. Bodies are
+    # expression-built from the engine's own worklist (no Python rows).
+    # This is the WORST-case ingestion round (a brand-new crawl
+    # discovering its whole host universe at once): the added cost over
+    # crawl_round_2m_commit decomposes (measured, quiet window) into
+    # ~4 s of one-time pandas-UDF body parsing (O(fetched), cached —
+    # steady-state rounds fetch incrementally), ~0.6 s rules join +
+    # verdict fold over the candidates, ~1.2 s column-budget salted
+    # claim vs the literal path.
+    disc_root = tempfile.mkdtemp(prefix="crawl_disc_bench", dir="/tmp")
+    try:
+        store = CheckpointStore(disc_root, n_partitions=32)
+        engine = CrawlEngine(
+            spark, store, seed=5, default_budget=1 << 30, discovery=True
+        )
+        engine.bootstrap()
+        engine.run_round(_crawl_pages(0, 2_000_000), round_epoch=1)
+        bodies = engine.robots_worklist().select(
+            "host",
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /private\nCrawl-delay: 1\n"
+                      "Sitemap: http://"),
+                F.col("host"),
+                F.lit("/sm.xml\n"),
+            ).alias("robots_txt"),
+        )
+        t0 = time.perf_counter()
+        engine.run_round(
+            _crawl_pages(1_000_000, 3_000_000),
+            round_epoch=2,
+            robots_fetched=bodies,
+        )
+        timings["crawl_discovery_round_2m"] = round(time.perf_counter() - t0, 4)
+        dc = store.read_manifest(store.latest_snapshot_id())["counters"]
+        assert dc["n_robots_fetched"] == 50_000, dc
+        assert dc["n_sitemaps_discovered"] == 50_000, dc
+    finally:
+        shutil.rmtree(disc_root, ignore_errors=True)
+
     # RoundEngine frontier-commit cost vs frontier SIZE (VERDICT r03 item
     # #3): same ~100k-claim round over a 2M- and a 16M-row frontier, in
     # both commit modes. The r04 'patch' mode (merge-on-read) point-reads
