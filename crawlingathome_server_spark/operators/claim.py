@@ -97,6 +97,16 @@ def claim_batch(
     per-host top-k), which already bounds skew; the explicit salt phase
     is what keeps the bound when the budget is a per-host COLUMN from
     the robots table, where WindowGroupLimit cannot apply.
+
+    Deployment note (r06): the rank exchange is this operator's ONLY
+    shuffle, and a frontier stored BUCKETED on ``host_key`` (an Iceberg
+    ``bucket(N, host_key)`` transform / ``bucketBy`` table) already
+    satisfies the window's clustered distribution — the claim then
+    plans with ZERO Exchange (scan → in-bucket sort → rank;
+    plan-asserted in tests/test_plans.py::
+    test_claim_over_host_bucketed_frontier_is_shuffle_free). At 10^10
+    rows that replaces the round's ~400 GB rank shuffle with an
+    embarrassingly parallel scan.
     """
     ok = order_key(seed, use_oracle_hash)
     cand = frontier.filter(open_jobs(frontier, stage))
