@@ -99,11 +99,12 @@ def claim_batch(
     the robots table, where WindowGroupLimit cannot apply.
 
     Deployment note (r06): the rank exchange is this operator's ONLY
-    shuffle, and a frontier stored BUCKETED on ``host_key`` (an Iceberg
-    ``bucket(N, host_key)`` transform / ``bucketBy`` table) already
-    satisfies the window's clustered distribution — the claim then
-    plans with ZERO Exchange (scan → in-bucket sort → rank;
-    plan-asserted in tests/test_plans.py::
+    shuffle. A frontier that persists ``host_key`` and is stored
+    BUCKETED on it (an Iceberg ``bucket(N, host_key)`` transform /
+    ``bucketBy`` table) already satisfies the window's clustered
+    distribution — this operator then plans with ZERO Exchange on the
+    rank path (scan → in-bucket sort → rank; asserted END-TO-END
+    through claim_batch in tests/test_plans.py::
     test_claim_over_host_bucketed_frontier_is_shuffle_free). At 10^10
     rows that replaces the round's ~400 GB rank shuffle with an
     embarrassingly parallel scan.
@@ -114,12 +115,21 @@ def claim_batch(
     # sort comparator then touches only fixed-width numerics (Tungsten
     # radix-friendly), and since r06 the string itself never enters the
     # rank shuffles at all. 64-bit hash collisions would merely merge
-    # two hosts' budgets (P ≈ n²/2⁶⁵).
-    narrow = (
-        cand.select("number", host_col, "priority")
-        .withColumn("order_key", ok)
-        .withColumn("host_key", seeded_hash64(F.col(host_col)))
-    )
+    # two hosts' budgets (P ≈ n²/2⁶⁵). A frontier that PERSISTS a
+    # host_key column (precondition: == seeded_hash64(host); the layout
+    # a host-bucketed store maintains) keeps it — ranking then uses the
+    # stored column, which is what lets a bucketed-on-host_key table
+    # satisfy the window's distribution with no Exchange (Catalyst can
+    # never equate a freshly-computed hash with the bucketing column).
+    has_stored_host_key = "host_key" in frontier.columns
+    narrow = cand.select(
+        "number",
+        host_col,
+        "priority",
+        *(("host_key",) if has_stored_host_key else ()),
+    ).withColumn("order_key", ok)
+    if not has_stored_host_key:
+        narrow = narrow.withColumn("host_key", seeded_hash64(F.col(host_col)))
 
     budget_is_literal = robots is None
     if robots is not None:

@@ -318,6 +318,7 @@ def minhash_dedup(
     shingle_k: int = 3,
     seed: int = 7,
     mode: str = "expr",
+    reuse: bool = True,
 ) -> DataFrame:
     """Full near-dup pipeline → (a, b, jaccard) verified duplicate pairs.
 
@@ -336,8 +337,14 @@ def minhash_dedup(
 
     # the doc text feeds THREE scans (signatures + both sides of the
     # exact-Jaccard verify join); cache the spread input once
-    # (VERDICT r05 #6 shared-scan reuse)
-    docs = spread(docs).cache()
+    # (VERDICT r05 #6 shared-scan reuse). The cache is pinned for the
+    # session (the result is lazy, so the operator has no unpersist
+    # point) — a long-lived driver calling this per corpus batch should
+    # pass reuse=False and manage its own persistence, or rely on
+    # Spark's LRU eviction (MEMORY_AND_DISK)
+    docs = spread(docs)
+    if reuse:
+        docs = docs.cache()
     if mode == "pandas":
         sigs = minhash_signatures(
             docs, text_col=text_col, id_col=id_col, n_hashes=n_hashes,
@@ -484,6 +491,7 @@ def simhash_candidates(
     use_expr: bool = True,
     hash_mode: str = "xxhash64",
     n_bits: int = 64,
+    reuse: bool = True,
 ) -> DataFrame:
     """Near-dup candidates: docs sharing ≥1 of ``n_blocks`` signature
     blocks (pigeonhole: hamming ≤ n_blocks-1 guarantees a shared block),
@@ -518,8 +526,10 @@ def simhash_candidates(
     # whole signature plan (the per-word hash fold dominates this
     # operator); the signature table is (id, long) — cache it
     # (VERDICT r05 #6; at warehouse scale you'd persist signatures to a
-    # table instead, same reuse point)
-    sh = sh.cache()
+    # table instead, same reuse point). Session-pinned like every lazy
+    # operator cache — reuse=False for callers that manage persistence
+    if reuse:
+        sh = sh.cache()
     blocks = sh.select(
         "doc_id",
         "simhash",

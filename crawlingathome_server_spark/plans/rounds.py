@@ -552,11 +552,22 @@ class CrawlEngine:
             sitemap_fetched = sitemap_fetched.cache()
             caches.append(sitemap_fetched)
             fetched_sitemaps = sitemap_fetched.select("sitemap_url")
-            locs = sitemap_fetched.select(
+            # xml-scanning expressions go in a select BELOW the explode —
+            # selected alongside a generator they land in the Project
+            # ABOVE Generate and re-run once per extracted <loc> (the
+            # measured staging trap documented at expand_frontier; a 50k-
+            # entry sitemap would regex-scan its whole document 50k times)
+            staged = sitemap_fetched.select(
                 "sitemap_url",
                 "host",
                 F.col("xml").rlike(r"(?is)<\s*sitemapindex").alias("__idx"),
-                F.explode(rb.extract_sitemap_locs(F.col("xml"))).alias("loc"),
+                rb.extract_sitemap_locs(F.col("xml")).alias("__locs"),
+            )
+            locs = staged.select(
+                "sitemap_url",
+                "host",
+                "__idx",
+                F.explode(F.col("__locs")).alias("loc"),
             )
             # a <sitemapindex> doc's locs are MORE sitemaps (queue them);
             # a leaf <urlset> doc's locs are page urls (seed them — they

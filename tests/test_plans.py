@@ -241,35 +241,39 @@ def test_point_read_prunes_base_scan_through_patch_layers(spark, tmp_path):
 
 def test_claim_over_host_bucketed_frontier_is_shuffle_free(spark, tmp_path):
     """r06 scale posture: the claim's only shuffle is the per-host rank
-    exchange. A frontier stored BUCKETED on the rank key (host_key =
-    xxhash64(host) — the layout an Iceberg bucket transform gives a real
+    exchange. A frontier that PERSISTS host_key and is stored BUCKETED
+    on it (the layout an Iceberg bucket transform gives a real
     deployment) already satisfies the window's clustered distribution,
-    so the whole politeness claim plans with ZERO Exchange: scan → sort
-    within buckets → rank. At 10^10 rows that turns the round's rank
-    from a ~400 GB shuffle into an embarrassingly parallel scan."""
+    so claim_batch itself — end to end, not a hand-built window — plans
+    with ZERO Exchange: scan → sort within buckets → rank. At 10^10
+    rows that turns the round's rank from a ~400 GB shuffle into an
+    embarrassingly parallel scan. Also asserts the stored-host_key path
+    returns exactly what the compute-the-hash path returns."""
     import uuid
 
-    from pyspark.sql import Window
+    from crawlingathome_server_spark.functions.urls import seeded_hash64
 
     db = f"bkt_{uuid.uuid4().hex[:8]}"
     spark.sql(f"CREATE DATABASE {db}")
     try:
         fr = dedup_by_number(datagen.frontier(spark, n=400)).withColumn(
-            "host_key", F.xxhash64("host")
+            "host_key", seeded_hash64(F.col("host"))
         )
         fr.write.bucketBy(4, "host_key").saveAsTable(f"{db}.frontier_hb")
         t = spark.table(f"{db}.frontier_hb")
-        # the literal-budget rank exactly as claim_batch plans it
-        w = Window.partitionBy("host_key").orderBy(
-            F.desc("priority"), F.asc(F.xxhash64("number", F.lit(7))), F.asc("number")
-        )
-        claims = (
-            t.filter(~F.col("pending") & ~F.col("closed") & ~F.col("gpu"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= 4)
+        claims = claim.claim_batch(
+            t, None, seed=7, default_budget=4, with_payload=False
         )
         p = plan_of(claims)
         assert "WindowGroupLimit" in p, p
         assert "Exchange" not in p, p
+        # value parity with the hash-computing path over the same rows
+        plain = claim.claim_batch(
+            t.drop("host_key"), None, seed=7, default_budget=4,
+            with_payload=False,
+        )
+        assert sorted(map(tuple, claims.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
     finally:
         spark.sql(f"DROP DATABASE {db} CASCADE")

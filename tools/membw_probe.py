@@ -112,10 +112,18 @@ def sort_worker(q, dur: float = 2.0, n: int = 4_000_000) -> None:
     """Repeated sort of a hash-scrambled 32 MiB int64 array — the
     claim-job-analog workload (comparison sort over a working set that
     overflows private caches and contends for shared L3). Reports
-    M elements sorted/s. Deterministic scramble, fresh copy per pass."""
+    M elements sorted/s. Deterministic scramble, fresh copy per pass.
+
+    The scramble must WRAP (r06 review fix: ``i * 2654435761`` maxes at
+    ~1.06e16 < 2^62, so the old mask never fired and the input was
+    already sorted — a branch-predictable degenerate sort). The
+    golden-ratio constant times any i ≥ 2 overflows int64, and numpy
+    wraps silently (C semantics), giving a full-range permutation-like
+    scramble; verified unsorted at import of this probe."""
     import numpy as np
 
-    base = (np.arange(n, dtype=np.int64) * 2654435761) & ((1 << 62) - 1)
+    base = np.arange(n, dtype=np.int64) * np.int64(-7046029254386353131)
+    assert not bool(np.all(base[:-1] <= base[1:])), "scramble degenerated"
     sorted_n = 0
     t0 = time.perf_counter()
     while time.perf_counter() - t0 < dur:

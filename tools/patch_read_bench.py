@@ -123,10 +123,16 @@ def main() -> None:
         # half_slope·max (amortized fold + average read amplification),
         # evaluated at the fixed-16 default vs the store's adaptive
         # bound (layers_bound from the fold_bps this run just measured)
-        half_slope = (
+        raw_slope = (
             results[f"layers_{MAX_LAYERS}"]["full_read_sec"]
             - results["layers_0"]["full_read_sec"]
         ) / MAX_LAYERS / 2
+        # a noisy-neighbor inversion (layers_15 measuring faster than
+        # layers_0) would make overhead() monotonically decreasing and
+        # the comparison vacuous — fall back to the store's calibrated
+        # constant and flag the record (r06 review fix)
+        slope_sound = raw_slope > 0.01
+        half_slope = raw_slope if slope_sound else CheckpointStore.LAYER_HALF_SLOPE_S
         tuned = CheckpointStore(
             root + "_na", patch_layers_max="auto"
         ).layers_bound(post_meta)
@@ -138,6 +144,8 @@ def main() -> None:
             "fold_sec_measured": fold_sec,
             "fold_bps_measured": post_meta.get("fold_bps"),
             "read_half_slope_sec_per_layer": round(half_slope, 4),
+            "read_half_slope_raw": round(raw_slope, 4),
+            "slope_sound": slope_sound,
             "patch_layers_max_tuned": tuned,
             "per_round_overhead_tuned_sec": overhead(tuned),
             "per_round_overhead_fixed16_sec": overhead(16),

@@ -181,11 +181,13 @@ def _measure_ceilings() -> dict:
     )
 
     # one self-load tracker across all probes: one probe's bursts must
-    # not gate-reject the next probe's samples (r06 refinement)
+    # not gate-reject the next probe's samples (r06 refinement). The
+    # sort probe runs FIRST — it anchors the scaled gate, so it gets
+    # the cleanest slice of whatever quiet window the run landed in
     sl = SelfLoad()
+    sort = measure_gated("sort", self_load=sl)
     membw = measure_gated("membw", self_load=sl)
     cpu = measure_gated("cpu", self_load=sl)
-    sort = measure_gated("sort", self_load=sl)
 
     def _ratio(p, fallback):
         if not p["sound"]:
@@ -344,20 +346,24 @@ def main():
 
 
 #: an attempt only QUALIFIES for surfacing when neither level's best
-#: round ran under a neighbor burst and the two levels saw comparable
-#: conditions. Without this, a burst that crushes ONE level inflates the
-#: ratio — observed r06: an 8-level best at load 45-85 paired with a
-#: clean 32-level recorded a misleading 0.752. Thresholds: the 32-level
-#: self-load alone reads ~10-20, so ≤24 tolerates normal self+ambient;
-#: the ratio bound rejects one-sided bursts.
-QUALIFY_MAX_LOAD = 24.0
-QUALIFY_LOAD_RATIO = 3.0
+#: round ran under a neighbor burst. Without this, a burst that crushes
+#: ONE level inflates the ratio — observed r06: an 8-level best at load
+#: 45-85 paired with a clean 32-level recorded a misleading 0.752. The
+#: gate subtracts each level's OWN expected self-load first (review fix:
+#: a raw cross-level ratio bound penalized the quietest runs, where the
+#: 32-level's inherent ~12 self-load dwarfs an idle 8-level's ~6): on
+#: a quiet box the claim job itself reads ~6 at local[8] and ~12 at
+#: local[32] (measured across the attempt history), so the NEIGHBOR
+#: load at each level ≈ best_load − self; qualify when both stay ≤ 8.
+SELF_LOAD = {"local_8": 6.0, "local_32": 12.0}
+QUALIFY_NEIGHBOR_MAX = 8.0
 
 
 def _load_qualified(load_avg: dict) -> bool:
-    l8, l32 = load_avg["local_8"], load_avg["local_32"]
-    hi, lo = max(l8, l32), max(min(l8, l32), 0.1)
-    return hi <= QUALIFY_MAX_LOAD and hi / lo <= QUALIFY_LOAD_RATIO
+    return all(
+        max(0.0, load_avg[k] - SELF_LOAD[k]) <= QUALIFY_NEIGHBOR_MAX
+        for k in ("local_8", "local_32")
+    )
 
 
 def _merge_literal(summary: dict, results8: dict, results32: dict) -> dict:
@@ -547,13 +553,15 @@ politeness claim over {N_ROWS // 8:,} expression-built page URLs:
 **Literal 8→32 efficiency = {eff_lit:.3f}** at the loads above.
 Per-round 1-min load averages ride in scaling.json `round_load`, and
 every attempt's (efficiency, loads) accumulates in `literal_attempts` —
-the surfaced pair is the best recorded LOAD-QUALIFIED attempt (max
-level load ≤ {QUALIFY_MAX_LOAD:.0f} and load ratio ≤
-{QUALIFY_LOAD_RATIO:.0f}×, r06: a one-sided neighbor burst that crushes
-only the 8-level INFLATES the ratio — one such attempt recorded 0.752
-with the 8-level at load 45-85 and is kept in the history flagged
-`load_qualified: false`, never surfaced), so the artifact carries its
-own qualifying telemetry instead of a prose claim.
+the surfaced pair is the best recorded LOAD-QUALIFIED attempt
+(estimated NEIGHBOR load at each level — best-round load minus that
+level's own expected self-load {SELF_LOAD['local_8']:.0f}/{SELF_LOAD['local_32']:.0f} —
+must stay ≤ {QUALIFY_NEIGHBOR_MAX:.0f}; r06: a one-sided neighbor burst
+that crushes only the 8-level INFLATES the ratio — one such attempt
+recorded 0.752 with the 8-level at load 45-85 and is kept in the
+history flagged `load_qualified: false`, never surfaced), so the
+artifact carries its own qualifying telemetry instead of a prose
+claim.
 
 Hardware ceilings measured LIVE this session by the gated probe
 protocol (`tools/membw_probe.py measure_gated`, r06 — 8/32 bursts
