@@ -189,6 +189,7 @@ class CheckpointStore:
         root: str,
         n_partitions: int = 8,
         patch_layers_max: int | str = 16,
+        bucket_layouts: dict[str, Any] | None = None,
     ):
         if patch_layers_max != "auto" and not isinstance(patch_layers_max, int):
             raise ValueError(
@@ -196,6 +197,23 @@ class CheckpointStore:
             )
         self.root = root
         self.n_partitions = n_partitions
+        #: per-table PHYSICAL bucket layout (r07, VERDICT r06 next #1):
+        #: ``{table: {"col": c, "n": k}}``. A table with a layout is
+        #: written (on every full rewrite / fold) as a Spark BUCKETED
+        #: table — ``bucketBy(k, c)`` + a catalog registration over the
+        #: snapshot-dir files — instead of the store's key-hashed
+        #: ``__part`` dirs. Reads then return the catalog table, whose
+        #: ``HashPartitioning(c)`` satisfies any per-``c`` window /
+        #: aggregation / join distribution downstream with ZERO Exchange
+        #: — the in-sandbox stand-in for an Iceberg ``bucket(k, c)``
+        #: partition transform + storage-partitioned joins. Used for the
+        #: open-frontier sidecar (bucketed on ``host_key``) so the
+        #: per-round politeness rank never shuffles the open set.
+        #: Trade-offs: bucket-granular deltas (Append / key-delta) are
+        #: refused (the layout has no key-hash dirs to inherit) — such
+        #: tables live on full rewrites + merge-on-read Patch layers;
+        #: ``read_buckets`` point-reads are likewise unsupported.
+        self.bucket_layouts = self._norm_layouts(bucket_layouts)
         #: merge-on-read chain bound: a Patch commit that would create
         #: layer patch_layers_max+1 folds the table instead (full rewrite,
         #: amortized O(1) per round like the filter capacity rebuilds).
@@ -215,9 +233,32 @@ class CheckpointStore:
         # PARENT's count, so bucket inheritance stays exact across reopen.
         latest = self.latest_snapshot_id()
         if latest is not None:
-            self.n_partitions = self.read_manifest(latest).get(
-                "n_partitions", n_partitions
-            )
+            m = self.read_manifest(latest)
+            self.n_partitions = m.get("n_partitions", n_partitions)
+            # layouts persist like the bucket count: reopening adopts the
+            # manifest's unless the caller explicitly overrides
+            if bucket_layouts is None:
+                self.bucket_layouts = self._norm_layouts(m.get("bucket_layouts"))
+
+    def _norm_layouts(self, layouts) -> dict[str, dict[str, Any]]:
+        out: dict[str, dict[str, Any]] = {}
+        for name, spec in (layouts or {}).items():
+            if isinstance(spec, str):
+                out[name] = {"col": spec, "n": self.n_partitions}
+            elif isinstance(spec, (tuple, list)):
+                col, n = spec
+                out[name] = {"col": col, "n": int(n or self.n_partitions)}
+            else:
+                out[name] = {
+                    "col": spec["col"],
+                    "n": int(spec.get("n") or self.n_partitions),
+                }
+        return out
+
+    def set_bucket_layout(self, name: str, col: str, n: int | None = None) -> None:
+        """Declare (idempotently) that table ``name`` is physically
+        bucketed on ``col`` from its next full write onward."""
+        self.bucket_layouts[name] = {"col": col, "n": int(n or self.n_partitions)}
 
     # -- manifest helpers --------------------------------------------------
 
@@ -252,6 +293,9 @@ class CheckpointStore:
     def _table_bytes(cls, meta_t: dict) -> int:
         """On-disk base bytes of a table from its manifest entry (cheap:
         a few dozen getsize calls — bucket dirs hold few files)."""
+        bl = meta_t.get("bucket_layout")
+        if bl is not None and bl.get("path") and os.path.isdir(bl["path"]):
+            return cls._bytes_under(bl["path"])
         return sum(
             cls._bytes_under(p["path"])
             for p in (meta_t.get("partitions") or {}).values()
@@ -380,6 +424,10 @@ class CheckpointStore:
             total_exact: bool = True
             # carried fold-throughput telemetry; refreshed by full rewrites
             fold_bps = parent_meta_t.get("fold_bps")
+            # physical bucket layout: carried by UNCHANGED/Patch, created
+            # (or re-created) by every full write of a layout table
+            blmeta: dict[str, Any] | None = None
+            bl_spec = self.bucket_layouts.get(name)
 
             if isinstance(delta, Patch):
                 if name not in parent_tables:
@@ -415,6 +463,7 @@ class CheckpointStore:
                 layers = parent_layers
                 total_override = parent_meta_t.get("total_rows")
                 total_exact = parent_meta_t.get("total_rows_exact", True)
+                blmeta = parent_meta_t.get("bucket_layout")
             elif isinstance(delta, Patch):
                 # merge-on-read: write ONLY the delta rows (+ tombstones)
                 # as a new layer; base buckets are inherited verbatim.
@@ -469,6 +518,7 @@ class CheckpointStore:
                     )
                 partitions = dict(parent_parts)
                 layers = parent_layers
+                blmeta = parent_meta_t.get("bucket_layout")
                 if n_rows or n_removed:
                     layers = parent_layers + [
                         {
@@ -500,6 +550,57 @@ class CheckpointStore:
                     # drifts only by the deletions — exact UNDER THE
                     # CONTRACT (a violating caller skews it until fold)
                     total_override = parent_meta_t["total_rows"] - n_removed
+            elif bl_spec is not None:
+                # bucketed-layout table: full rewrite via bucketBy + an
+                # external catalog registration (the Iceberg bucket-
+                # transform analogue). No key-hash dirs exist to inherit,
+                # so bucket-granular deltas are structurally impossible.
+                if delta is not None and delta is not UNCHANGED:
+                    raise ValueError(
+                        f"table '{name}' has a bucket layout on "
+                        f"'{bl_spec['col']}'; Append/key deltas are "
+                        "unsupported — commit a full rewrite, UNCHANGED, "
+                        "or a merge-on-read Patch"
+                    )
+                if bl_spec["col"] not in df.columns:
+                    raise ValueError(
+                        f"bucket layout column '{bl_spec['col']}' missing "
+                        f"from table '{name}' ({df.columns})"
+                    )
+                spark = df.sparkSession
+                path = os.path.join(snap_dir, name)
+                tbl = self._catalog_table_name(name, snap_id)
+                spark.sql(f"CREATE DATABASE IF NOT EXISTS {self._catalog_db()}")
+                # one shuffle on the bucket col aligns writer tasks with
+                # buckets → exactly n files; this is the ONE clustering
+                # pass the layout buys all later shuffle-free reads with
+                t0 = time.perf_counter()
+                (
+                    df.repartition(bl_spec["n"], F.col(bl_spec["col"]))
+                    .write.bucketBy(bl_spec["n"], bl_spec["col"])
+                    .mode("overwrite")
+                    .option("path", path)
+                    .saveAsTable(tbl)
+                )
+                write_sec = time.perf_counter() - t0
+                nbytes = self._bytes_under(path)
+                if nbytes >= (1 << 20) and write_sec >= 0.5:
+                    fold_bps = int(nbytes / write_sec)
+                has_files = any(
+                    f.endswith(".parquet")
+                    for _, _, fs in os.walk(path)
+                    for f in fs
+                )
+                n_rows = spark.read.parquet(path).count() if has_files else 0
+                partitions = {}
+                total_override = n_rows
+                blmeta = {
+                    "col": bl_spec["col"],
+                    "n": bl_spec["n"],
+                    "path": path,
+                    "written_by": snap_id,
+                    "base_rows": n_rows,
+                }
             else:
                 if delta is not None and delta is not UNCHANGED and name in parent_tables:
                     if isinstance(delta, Append):
@@ -605,6 +706,7 @@ class CheckpointStore:
             table_meta[name] = {
                 "partition_key": key,
                 "partitions": partitions,
+                **({"bucket_layout": blmeta} if blmeta is not None else {}),
                 "delta_layers": layers,
                 "total_rows": (
                     total_override
@@ -622,10 +724,21 @@ class CheckpointStore:
                 "schema_json": df.schema.json(),
             }
 
+        # A commit lists only the tables its writer knows about; any
+        # parent table it didn't mention carries forward UNCHANGED instead
+        # of silently vanishing from the child manifest (ADVICE r06 #1:
+        # a discovery=False engine resuming a discovery store must not
+        # orphan the robots dim / worklists — expire_snapshots would
+        # eventually delete their files).
+        for pname, pmeta_t in parent_tables.items():
+            if pname not in table_meta:
+                table_meta[pname] = pmeta_t
+
         manifest = {
             "snapshot_id": snap_id,
             "parent_snapshot_id": parent,
             "n_partitions": eff_parts,
+            "bucket_layouts": self.bucket_layouts,
             "seed": seed,
             "round_epoch": round_epoch,
             "created_unix": int(time.time()),
@@ -641,43 +754,123 @@ class CheckpointStore:
 
     # -- read ----------------------------------------------------------------
 
-    def read(self, spark: SparkSession, name: str, snap_id: int | None = None) -> DataFrame:
-        snap_id = snap_id if snap_id is not None else self.latest_snapshot_id()
-        if snap_id is None:
-            raise FileNotFoundError(f"no snapshots in {self.root}")
-        meta = self.read_manifest(snap_id)["tables"][name]
+    # -- bucketed-layout catalog plumbing ---------------------------------
+
+    def _catalog_db(self) -> str:
+        import hashlib
+
+        digest = hashlib.sha1(os.path.abspath(self.root).encode()).hexdigest()[:10]
+        return f"cahs_{digest}"
+
+    def _catalog_table_name(self, name: str, snap_id: int) -> str:
+        return f"{self._catalog_db()}.{name}_s{snap_id:06d}"
+
+    def _bucketed_base(self, spark: SparkSession, meta: dict[str, Any]) -> DataFrame:
+        """The catalog-registered bucketed base of a layout table.
+
+        Registration is idempotent and session-independent: a store
+        reopened in a fresh SparkSession re-creates the external
+        ``CLUSTERED BY`` entry over the snapshot files from manifest
+        metadata alone (bucket ids are encoded in the file names Spark
+        wrote, so the re-registered table reads identically and keeps
+        ``Bucketed: true`` scans)."""
+        from pyspark.sql import types as T
+
+        bl = meta["bucket_layout"]
+        tbl = self._catalog_table_name_from_layout(meta)
+        if not spark.catalog.tableExists(tbl):
+            spark.sql(f"CREATE DATABASE IF NOT EXISTS {self._catalog_db()}")
+            schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+            ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY (`{bl['col']}`) INTO {bl['n']} BUCKETS "
+                f"LOCATION '{bl['path']}'"
+            )
+        cols = [
+            f.name
+            for f in T.StructType.fromJson(json.loads(meta["schema_json"])).fields
+        ]
+        return spark.table(tbl).select(*cols)
+
+    def _catalog_table_name_from_layout(self, meta: dict[str, Any]) -> str:
+        bl = meta["bucket_layout"]
+        # the snapshot that WROTE the base names the catalog entry, so
+        # UNCHANGED/Patch children share their parent's registration
+        base_name = os.path.basename(bl["path"])
+        return self._catalog_table_name(base_name, bl["written_by"])
+
+    def _base_of(self, spark: SparkSession, meta: dict[str, Any]) -> DataFrame:
+        from pyspark.sql import types as T
+
+        if meta.get("bucket_layout") is not None:
+            return self._bucketed_base(spark, meta)
+        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        cols = [f.name for f in schema.fields]
         paths = [
             p["path"]
             for p in meta["partitions"].values()
             if p["path"] is not None and p["rows"] > 0
         ]
-        return self._reconstruct(spark, meta, paths)
+        return (
+            spark.read.schema(schema).parquet(*paths).select(*cols)
+            if paths
+            else spark.createDataFrame([], schema=schema)
+        )
 
-    def _reconstruct(
-        self, spark: SparkSession, meta: dict[str, Any], base_paths: list[str]
-    ) -> DataFrame:
-        """Base buckets ∓ merge-on-read layers → current table content.
+    def read(self, spark: SparkSession, name: str, snap_id: int | None = None) -> DataFrame:
+        snap_id = snap_id if snap_id is not None else self.latest_snapshot_id()
+        if snap_id is None:
+            raise FileNotFoundError(f"no snapshots in {self.root}")
+        meta = self.read_manifest(snap_id)["tables"][name]
+        return self._reconstruct(spark, meta, self._base_of(spark, meta))
 
-        Layer rows are per-round transition batches (small); the
-        reconstruction is one window over their union (latest layer wins
-        per key; a replacement beats a tombstone within its layer) plus
-        one anti-join against the base — read amplification bounded by
-        ``patch_layers_max`` and cleared by fold/compaction."""
-        from pyspark.sql import Window
+    def read_parts(
+        self, spark: SparkSession, name: str, snap_id: int | None = None
+    ) -> list[DataFrame]:
+        """The table as a list of disjoint DataFrames whose
+        ``unionByName`` equals :meth:`read` — the claim-decomposition
+        read (r07). For a bucketed-layout table with live row-granular
+        Patch layers this returns ``[base − touched keys, layer
+        survivors]``: the first part is the catalog bucketed base minus
+        a broadcast anti-join (both partitioning-preserving), so a
+        per-bucket-col consumer (the politeness rank) can process the
+        huge part with ZERO Exchange and only shuffle the tiny layer
+        part — O(winners), not O(open). Column-granular or layer-free
+        tables return a single part (``[read()]``)."""
+        snap_id = snap_id if snap_id is not None else self.latest_snapshot_id()
+        if snap_id is None:
+            raise FileNotFoundError(f"no snapshots in {self.root}")
+        meta = self.read_manifest(snap_id)["tables"][name]
+        layers = meta.get("delta_layers") or []
+        pcols = layers[0].get("columns") if layers else None
+        if not layers or pcols:
+            return [self._reconstruct(spark, meta, self._base_of(spark, meta))]
         from pyspark.sql import types as T
 
         schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
         cols = [f.name for f in schema.fields]
-        base = (
-            spark.read.schema(schema).parquet(*base_paths).select(*cols)
-            if base_paths
-            else spark.createDataFrame([], schema=schema)
-        )
-        layers = meta.get("delta_layers") or []
-        if not layers:
-            return base
         key = meta["partition_key"]
-        pcols = layers[0].get("columns")  # same across the chain (enforced)
+        latest, acts = self._layer_actions(spark, meta, schema, cols)
+        alive = latest.filter(~F.col("__del")).select(*cols)
+        touched = acts.select(key).distinct()
+        base = self._base_of(spark, meta)
+        return [
+            base.join(F.broadcast(touched), on=key, how="left_anti"),
+            alive,
+        ]
+
+    def _layer_actions(self, spark, meta, schema, cols):
+        """(latest, acts): resolved per-key layer actions (latest layer
+        wins; replacement beats tombstone within a layer) and the raw
+        action union (for touched-key sets)."""
+        from pyspark.sql import Window
+
+        layers = meta.get("delta_layers") or []
+        key = meta["partition_key"]
+        pcols = layers[0].get("columns")
         layer_cols = [key, *pcols] if pcols else cols
         layer_schema = T_struct([schema[c] for c in layer_cols])
         acts: DataFrame | None = None
@@ -709,6 +902,28 @@ class CheckpointStore:
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__ly")
         )
+        return latest, acts
+
+    def _reconstruct(
+        self, spark: SparkSession, meta: dict[str, Any], base: DataFrame
+    ) -> DataFrame:
+        """Base buckets ∓ merge-on-read layers → current table content.
+
+        Layer rows are per-round transition batches (small); the
+        reconstruction is one window over their union (latest layer wins
+        per key; a replacement beats a tombstone within its layer) plus
+        one anti-join against the base — read amplification bounded by
+        ``patch_layers_max`` and cleared by fold/compaction."""
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        cols = [f.name for f in schema.fields]
+        layers = meta.get("delta_layers") or []
+        if not layers:
+            return base
+        key = meta["partition_key"]
+        pcols = layers[0].get("columns")  # same across the chain (enforced)
+        latest, acts = self._layer_actions(spark, meta, schema, cols)
         if not pcols:
             alive = latest.filter(~F.col("__del")).select(*cols)
             touched = acts.select(key).distinct()
@@ -757,6 +972,12 @@ class CheckpointStore:
             raise FileNotFoundError(f"no snapshots in {self.root}")
         m = self.read_manifest(snap_id)
         meta = m["tables"][name]
+        if meta.get("bucket_layout") is not None:
+            raise ValueError(
+                f"table '{name}' uses a bucket layout on "
+                f"'{meta['bucket_layout']['col']}' — it has no key-hash "
+                "dirs to prune; read() / read_parts() it instead"
+            )
         eff_parts = m.get("n_partitions", self.n_partitions)
         buckets = sorted(
             r[0]
@@ -780,7 +1001,16 @@ class CheckpointStore:
         # Catalyst pushes the projection through the reconstruction down
         # to the parquet scan, so a state-columns-only caller never reads
         # the wide payload bytes at all.
-        out = self._reconstruct(spark, meta, paths)
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(json.loads(meta["schema_json"]))
+        cols = [f.name for f in schema.fields]
+        base = (
+            spark.read.schema(schema).parquet(*paths).select(*cols)
+            if paths
+            else spark.createDataFrame([], schema=schema)
+        )
+        out = self._reconstruct(spark, meta, base)
         return out.select(*columns) if columns is not None else out
 
     # -- maintenance -----------------------------------------------------
@@ -841,6 +1071,9 @@ class CheckpointStore:
                 for p in t["partitions"].values():
                     if p["path"]:
                         referenced.add(os.path.normpath(p["path"]))
+                bl = t.get("bucket_layout")
+                if bl and bl.get("path"):
+                    referenced.add(os.path.normpath(bl["path"]))
                 for ly in t.get("delta_layers", []) or []:
                     for lp in (ly.get("rows_path"), ly.get("remove_path")):
                         if lp:
@@ -852,10 +1085,16 @@ class CheckpointStore:
                 continue
             for tname in os.listdir(sdir):
                 tdir = os.path.join(sdir, tname)
+                tdir_referenced = os.path.normpath(tdir) in referenced
                 for part in os.listdir(tdir):
                     pdir = os.path.normpath(os.path.join(tdir, part))
                     if part.startswith("__part") and pdir not in referenced:
                         shutil.rmtree(pdir, ignore_errors=True)
+                    elif os.path.isfile(pdir) and not tdir_referenced:
+                        # bucketed-layout base files live loose in the
+                        # table dir (no __part subdirs); the dir itself
+                        # is the referenced unit
+                        os.remove(pdir)
                     elif part == "__layer":
                         # a layer dir survives while ANY surviving manifest
                         # references one of its children (rows/removed)
