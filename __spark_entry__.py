@@ -1156,7 +1156,7 @@ def dedup_minhash(spark, sf_dir):
     from crawlingathome_server_spark.operators.dedup import minhash_dedup
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_dedup(docs, threshold=0.5, mode="md5")
+    return minhash_dedup(docs, threshold=0.5, mode="md5", reuse=True)
 
 
 @_q("dedup_simhash", _oracles_mod.simhash_sql())
@@ -1168,7 +1168,7 @@ def dedup_simhash(spark, sf_dir):
     from crawlingathome_server_spark.operators.dedup import simhash_candidates
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_candidates(docs, max_hamming=7, hash_mode="md5", n_bits=56)
+    return simhash_candidates(docs, max_hamming=7, hash_mode="md5", n_bits=56, reuse=True)
 
 
 @_q(

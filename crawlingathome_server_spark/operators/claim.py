@@ -98,8 +98,11 @@ def claim_batch(
     is what keeps the bound when the budget is a per-host COLUMN from
     the robots table, where WindowGroupLimit cannot apply.
 
-    Deployment note (r06): the rank exchange is this operator's ONLY
-    shuffle. A frontier that persists ``host_key`` and is stored
+    Deployment note (r06): with the default ``robots_broadcast=True``
+    the rank exchange is this operator's ONLY shuffle (with
+    ``robots_broadcast=False`` the budget join itself plans a shuffle
+    on ``host_col`` before the rank — ADVICE r06). A frontier that
+    persists ``host_key`` and is stored
     BUCKETED on it (an Iceberg ``bucket(N, host_key)`` transform /
     ``bucketBy`` table) already satisfies the window's clustered
     distribution — this operator then plans with ZERO Exchange on the
@@ -109,8 +112,50 @@ def claim_batch(
     rows that replaces the round's ~400 GB rank shuffle with an
     embarrassingly parallel scan.
     """
-    ok = order_key(seed, use_oracle_hash)
     cand = frontier.filter(open_jobs(frontier, stage))
+    winners = _ranked_narrow(
+        cand,
+        robots,
+        seed=seed,
+        default_budget=default_budget,
+        salt_buckets=salt_buckets,
+        host_col=host_col,
+        use_oracle_hash=use_oracle_hash,
+        robots_broadcast=robots_broadcast,
+    ).drop("host_key")
+
+    # The scheduling decision is the narrow winner set; downstream merges
+    # (apply_claims) join on `number` anyway. Re-attach the wide payload
+    # (the host string included, since r06) only when the caller emits
+    # job specs to workers — winners are politeness-bounded (≤ Σ host
+    # budgets), so broadcast them and stream the big side instead of
+    # shuffling it.
+    payload_cols = [c for c in frontier.columns if c not in ("number", "priority")]
+    if not with_payload or not payload_cols:
+        return winners
+    return F.broadcast(winners).join(
+        cand.select("number", *payload_cols), on="number", how="inner"
+    ).select(*frontier.columns, "order_key", "budget")
+
+
+def _ranked_narrow(
+    cand: DataFrame,
+    robots: DataFrame | None,
+    *,
+    seed: int,
+    default_budget: int,
+    salt_buckets: int,
+    host_col: str,
+    use_oracle_hash: bool,
+    robots_broadcast: bool = True,
+) -> DataFrame:
+    """Per-host politeness-budgeted top-k over an (already open-filtered)
+    candidate set — the rank core of :func:`claim_batch`, kept separate
+    so :func:`claim_batch_union` can pre-rank disjoint candidate parts
+    independently. Returns the fixed-width winner set WITH ``host_key``
+    (columns: number, priority, host_key?, order_key, budget — callers
+    drop host_key or re-rank on it)."""
+    ok = order_key(seed, use_oracle_hash)
     # Rank over a numeric host key, not the host string: the window
     # sort comparator then touches only fixed-width numerics (Tungsten
     # radix-friendly), and since r06 the string itself never enters the
@@ -121,7 +166,7 @@ def claim_batch(
     # stored column, which is what lets a bucketed-on-host_key table
     # satisfy the window's distribution with no Exchange (Catalyst can
     # never equate a freshly-computed hash with the bucketing column).
-    has_stored_host_key = "host_key" in frontier.columns
+    has_stored_host_key = "host_key" in cand.columns
     narrow = cand.select(
         "number",
         host_col,
@@ -189,20 +234,67 @@ def claim_batch(
             .filter(F.col("rn") <= F.col("budget"))
             .drop("rn")
         )
-    winners = winners.drop("host_key")
+    return winners
 
-    # The scheduling decision is the narrow winner set; downstream merges
-    # (apply_claims) join on `number` anyway. Re-attach the wide payload
-    # (the host string included, since r06) only when the caller emits
-    # job specs to workers — winners are politeness-bounded (≤ Σ host
-    # budgets), so broadcast them and stream the big side instead of
-    # shuffling it.
-    payload_cols = [c for c in frontier.columns if c not in ("number", "priority")]
-    if not with_payload or not payload_cols:
-        return winners
-    return F.broadcast(winners).join(
-        cand.select("number", *payload_cols), on="number", how="inner"
-    ).select(*frontier.columns, "order_key", "budget")
+
+def claim_batch_union(
+    parts: list[DataFrame],
+    robots: DataFrame | None = None,
+    *,
+    seed: int = 0,
+    stage: str = "cpu",
+    default_budget: int = 4,
+    salt_buckets: int = 8,
+    host_col: str = "host",
+    use_oracle_hash: bool = False,
+) -> DataFrame:
+    """:func:`claim_batch` over ``unionByName(parts)`` (``with_payload=
+    False``), computed WITHOUT ever shuffling the union (r07, VERDICT r06
+    next #1/#7).
+
+    Exactness: the global per-host top-``budget`` equals the per-host
+    top-``budget`` of the union of each part's per-host top-``budget`` —
+    a part's ranked survivors contain every global winner that part
+    holds, because a host's global winners can occupy at most ``budget``
+    slots of any part. So each part is pre-ranked INDEPENDENTLY (the
+    huge bucketed-store base part plans its rank with zero Exchange —
+    its scan already clusters host_key; the merge-on-read layer parts
+    are O(touched)) and only the pre-ranked survivors — O(winners) rows
+    — meet in the final re-rank exchange. At 10^10 frontier rows with a
+    1%-open sidecar this turns the round's politeness rank from an
+    O(open) ~4 GB-per-host-key-column shuffle into an embarrassingly
+    parallel scan plus an O(claims) re-rank.
+
+    Each part must carry the claim input columns (number, host,
+    priority, gpu, pending, closed [, host_key]).
+    """
+    ranked = []
+    for part in parts:
+        cand = part.filter(open_jobs(part, stage))
+        ranked.append(
+            _ranked_narrow(
+                cand,
+                robots,
+                seed=seed,
+                default_budget=default_budget,
+                salt_buckets=salt_buckets,
+                host_col=host_col,
+                use_oracle_hash=use_oracle_hash,
+            ).select("number", "priority", "host_key", "order_key", "budget")
+        )
+    cand_all = ranked[0]
+    for r in ranked[1:]:
+        cand_all = cand_all.unionByName(r)
+    if len(ranked) == 1:
+        return cand_all.drop("host_key")
+    order = (F.desc("priority"), F.asc("order_key"), F.asc("number"))
+    w_host = Window.partitionBy("host_key").orderBy(*order)
+    return (
+        cand_all.withColumn("rn", F.row_number().over(w_host))
+        .filter(F.col("rn") <= F.col("budget"))
+        .drop("rn", "host_key")
+        .select("number", "priority", "order_key", "budget")
+    )
 
 
 def assign_workers(

