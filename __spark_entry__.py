@@ -909,8 +909,10 @@ def sim_knn(spark, sf_dir):
         vec_col="v",  # the cached double-cast base, not the raw table
         round_sim=6,
         # exhaustive search is exact under ANY centroids, so don't pay
-        # for KMeans convergence in the agreement stage
+        # for KMeans convergence (max_iter=1) or the k-means|| init's
+        # extra whole-data passes (random init) in the agreement stage
         max_iter=1,
+        init_mode="random",
     ).select("probe_id", "cand_id", F.lit(True).alias("__ivf_hit"))
     return brute.join(F.broadcast(ivf), ["probe_id", "cand_id"], "left").select(
         "probe_id",

@@ -273,6 +273,7 @@ def ivf_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_iter: int = 10,
+    init_mode: str = "k-means||",
 ):
     """Train IVF coarse centroids (MLlib KMeans) and assign every vector
     to its inverted list. Returns (assigned_df(id, list_id), model).
@@ -282,6 +283,12 @@ def ivf_build(
     the inverted "lists" are just a list_id column to bucket-join on —
     at 100 TB the assignment is embarrassingly parallel and searches
     touch only nprobe/n_lists of the data.
+
+    ``init_mode='random'`` skips the k-means|| init's extra full passes
+    (init is ~2 whole-data rounds + driver collects) — the right call
+    when centroid quality doesn't matter (the ``nprobe == n_lists``
+    exhaustive-agreement oracle: exact under ANY centroids) or when a
+    downstream re-score tolerates slightly lopsided lists.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -290,7 +297,9 @@ def ivf_build(
         F.col(id_col),
         array_to_vector(as_double(F.col(vec_col))).alias("features"),
     )
-    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(feats)
+    model = KMeans(
+        k=n_lists, seed=seed, maxIter=max_iter, initMode=init_mode
+    ).fit(feats)
     assigned = (
         model.transform(feats)
         .select(F.col(id_col), F.col("prediction").alias("list_id"))
@@ -310,6 +319,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     round_sim: int | None = None,
     max_iter: int = 10,
+    init_mode: str = "k-means||",
 ) -> DataFrame:
     """IVF ANN top-k: each probe searches only its ``nprobe`` nearest
     inverted lists (centroid distances computed against the broadcast
@@ -331,6 +341,7 @@ def ivf_topk(
         id_col=id_col,
         vec_col=vec_col,
         max_iter=max_iter,
+        init_mode=init_mode,
     )
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
     centers_df = embeddings.sparkSession.createDataFrame(

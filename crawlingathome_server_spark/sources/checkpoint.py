@@ -396,6 +396,9 @@ class CheckpointStore:
         snap_id = (parent or 0) + 1
         snap_dir = os.path.join(self.root, f"s{snap_id:06d}")
         table_meta: dict[str, Any] = {}
+        # per-table wall-time telemetry for the LAST commit (diagnostic
+        # only — not persisted; lets callers/bench decompose commit cost)
+        self.last_commit_table_secs: dict[str, float] = {}
 
         def _delta_key_col(d: DataFrame, key: str) -> str:
             """The column of a delta df that holds the table key. Contract:
@@ -413,7 +416,8 @@ class CheckpointStore:
                 )
             return d.columns[0]
 
-        for name, df in tables.items():
+        def _commit_one(name: str, df: DataFrame) -> dict:
+            _t_table = time.perf_counter()
             key = df.columns[0]
             delta = deltas.get(name)
             parent_meta_t = parent_tables.get(name, {}) if parent_tables else {}
@@ -673,6 +677,15 @@ class CheckpointStore:
                     to_write = part_df.filter(F.col("__part").isin(changed))
                 path = os.path.join(snap_dir, name)
                 t0 = time.perf_counter()
+                # align writer tasks with buckets (one shuffle on __part —
+                # the Iceberg write.distribution-mode=hash analogue) so each
+                # bucket dir gets ONE file per commit. Without it every
+                # input task writes a file into every dir it touches, and
+                # since the NEXT commit's scan tasks scale with file count,
+                # files snowball round-over-round (measured: a 1k-row
+                # Append onto a 50k-row dim wrote 2,604 files and cost
+                # 4.6 s; aligned it writes ≤ n_partitions files)
+                to_write = to_write.repartition(eff_parts, F.col("__part"))
                 to_write.write.mode("overwrite").partitionBy("__part").parquet(path)
                 write_sec = time.perf_counter() - t0
                 if not isinstance(delta, Append) and len(changed) == eff_parts:
@@ -703,7 +716,7 @@ class CheckpointStore:
                     else:
                         partitions[sb] = {"path": None, "rows": 0, "written_by": snap_id}
 
-            table_meta[name] = {
+            meta = {
                 "partition_key": key,
                 "partitions": partitions,
                 **({"bucket_layout": blmeta} if blmeta is not None else {}),
@@ -723,6 +736,28 @@ class CheckpointStore:
                 # files under partitionBy) reconstruct exactly on read
                 "schema_json": df.schema.json(),
             }
+            self.last_commit_table_secs[name] = round(
+                time.perf_counter() - _t_table, 4
+            )
+            return meta
+
+        # Per-table commit work runs CONCURRENTLY (a thread per table,
+        # shared Spark scheduler): each table's jobs are small (≤
+        # n_partitions tasks after the bucket-aligned shuffle), so a
+        # multi-table round commit — the crawl engine writes 5 tables —
+        # otherwise pays 5× the per-job latency floor sequentially. The
+        # per-table work only touches locals + its own table_meta slot;
+        # manifest assembly below stays deterministic (tables-dict order).
+        items = list(tables.items())
+        if len(items) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(items))) as ex:
+                metas = list(ex.map(lambda nd: _commit_one(*nd), items))
+        else:
+            metas = [_commit_one(name, df) for name, df in items]
+        for (name, _), meta in zip(items, metas):
+            table_meta[name] = meta
 
         # A commit lists only the tables its writer knows about; any
         # parent table it didn't mention carries forward UNCHANGED instead

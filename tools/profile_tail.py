@@ -112,10 +112,19 @@ t("mh: full minhash_dedup md5 (reuse=True)",
   lambda: mat(minhash_dedup(docs, threshold=0.5, mode="md5", reuse=True)))
 t("mh: full minhash_dedup md5 (reuse=False)",
   lambda: mat(minhash_dedup(docs, threshold=0.5, mode="md5", reuse=False)))
-try:
-    sigs = minhash_signatures(docs, mode="md5")
-    t("mh: signatures only (md5)", lambda: mat(sigs))
-except Exception as ex:
-    print("signatures-only probe skipped:", ex)
+from crawlingathome_server_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures_expr,
+    shingle_hashes_expr,
+)
+from crawlingathome_server_spark.util import spread
+
+d2 = spread(docs)
+t("mh: shingle md5 hashes only", lambda: mat(d2.select("doc_id", shingle_hashes_expr("text", 3, "md5").alias("h"))))
+t("mh: shingle xxhash only", lambda: mat(d2.select("doc_id", shingle_hashes_expr("text", 3, "xxhash64").alias("h"))))
+sigs = minhash_signatures_expr(d2, hash_mode="md5")
+t("mh: signatures md5", lambda: mat(sigs))
+t("mh: signatures xxhash", lambda: mat(minhash_signatures_expr(d2, hash_mode="xxhash64")))
+t("mh: sigs+banding md5", lambda: mat(lsh_candidate_pairs(sigs, n_bands=16, rows_per_band=4, bucket_mode="fold")))
 
 spark.stop()
