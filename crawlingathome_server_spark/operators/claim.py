@@ -66,8 +66,12 @@ def claim_batch(
     use_oracle_hash: bool = False,
     with_payload: bool = True,
     robots_broadcast: bool = True,
+    budget_col: str | None = None,
 ) -> DataFrame:
     """Select this round's claims: per-host politeness-budgeted top-k.
+
+    ``budget_col`` names a frontier column already carrying the per-host
+    budget (NULL → ``default_budget``); see :func:`_ranked_narrow`.
 
     Returns the claimed subset of ``frontier`` columns plus
     ``order_key`` and ``budget``. Pure transformation — committing the
@@ -122,6 +126,7 @@ def claim_batch(
         host_col=host_col,
         use_oracle_hash=use_oracle_hash,
         robots_broadcast=robots_broadcast,
+        budget_col=budget_col,
     ).drop("host_key")
 
     # The scheduling decision is the narrow winner set; downstream merges
@@ -130,12 +135,18 @@ def claim_batch(
     # job specs to workers — winners are politeness-bounded (≤ Σ host
     # budgets), so broadcast them and stream the big side instead of
     # shuffling it.
-    payload_cols = [c for c in frontier.columns if c not in ("number", "priority")]
+    payload_cols = [
+        c
+        for c in frontier.columns
+        if c not in ("number", "priority") and c != budget_col
+    ]
     if not with_payload or not payload_cols:
         return winners
+    # a pre-attached budget_col returns as the canonical "budget" column
+    out_cols = [c for c in frontier.columns if c != budget_col]
     return F.broadcast(winners).join(
         cand.select("number", *payload_cols), on="number", how="inner"
-    ).select(*frontier.columns, "order_key", "budget")
+    ).select(*out_cols, "order_key", "budget")
 
 
 def _ranked_narrow(
@@ -148,13 +159,23 @@ def _ranked_narrow(
     host_col: str,
     use_oracle_hash: bool,
     robots_broadcast: bool = True,
+    budget_col: str | None = None,
 ) -> DataFrame:
     """Per-host politeness-budgeted top-k over an (already open-filtered)
     candidate set — the rank core of :func:`claim_batch`, kept separate
     so :func:`claim_batch_union` can pre-rank disjoint candidate parts
     independently. Returns the fixed-width winner set WITH ``host_key``
     (columns: number, priority, host_key?, order_key, budget — callers
-    drop host_key or re-rank on it)."""
+    drop host_key or re-rank on it).
+
+    ``budget_col`` (r07): the caller already attached the per-host
+    budget as a column of ``cand`` (NULL → ``default_budget``) — e.g.
+    :func:`~..plans.rounds.expand_frontier` folds it into its single
+    robots rules broadcast join, so the dim is built/broadcast ONCE per
+    round instead of once for the rules and again for the budget.
+    Mutually exclusive with ``robots``."""
+    if budget_col is not None and robots is not None:
+        raise ValueError("pass either robots or budget_col, not both")
     ok = order_key(seed, use_oracle_hash)
     # Rank over a numeric host key, not the host string: the window
     # sort comparator then touches only fixed-width numerics (Tungsten
@@ -172,12 +193,19 @@ def _ranked_narrow(
         host_col,
         "priority",
         *(("host_key",) if has_stored_host_key else ()),
+        *((budget_col,) if budget_col is not None else ()),
     ).withColumn("order_key", ok)
     if not has_stored_host_key:
         narrow = narrow.withColumn("host_key", seeded_hash64(F.col(host_col)))
 
-    budget_is_literal = robots is None
-    if robots is not None:
+    budget_is_literal = robots is None and budget_col is None
+    if budget_col is not None:
+        narrow = narrow.withColumn(
+            "budget", F.coalesce(F.col(budget_col), F.lit(default_budget))
+        )
+        if budget_col != "budget":
+            narrow = narrow.drop(budget_col)
+    elif robots is not None:
         # Politeness dim table is one row per host → broadcast by
         # default so the join runs map-side BEFORE the rank exchange
         # and the host string can drop right after it — only the

@@ -148,20 +148,26 @@ def expand_frontier(
         .withColumn("url_hash", seeded_hash64(F.col("canon_url"), seed=0))
     )
 
+    budget_attached = False
     if robots is not None and "disallow_prefixes" in robots.columns:
         # robots.txt prefix rules with REP longest-match precedence
         # (r04): a url is dropped iff its longest matching Disallow rule
         # beats its longest matching Allow rule — so carve-outs like
         # `Allow: /private/public` under `Disallow: /private` schedule
         # correctly. Broadcast dim join + two builtin aggregate folds
-        # over the (short) prefix arrays — stays in codegen.
+        # over the (short) prefix arrays — stays in codegen. The
+        # per-host politeness BUDGET rides this same join (r07): the dim
+        # used to be built + broadcast a second time inside claim_batch
+        # just to attach max_claims_per_round — one dim, one broadcast.
         from ..functions.robots import robots_disallowed
 
         has_allow = "allow_prefixes" in robots.columns
+        has_budget = "max_claims_per_round" in robots.columns
         rules = robots.select(
             "host",
             "disallow_prefixes",
             *(["allow_prefixes"] if has_allow else []),
+            *(["max_claims_per_round"] if has_budget else []),
         )
         if robots_broadcast:
             rules = F.broadcast(rules)
@@ -183,6 +189,7 @@ def expand_frontier(
                 *(["allow_prefixes"] if has_allow else []),
             )
         )
+        budget_attached = has_budget
     # D1: exact dedup, deterministic first-wins (earliest warc_ts, then url)
     from pyspark.sql import Window
 
@@ -241,12 +248,13 @@ def expand_frontier(
     ).withColumn("closed", F.lit(False)).withColumn("gpu", F.lit(False))
     claimed = claim_op.claim_batch(
         cand,
-        robots,
+        None if budget_attached else robots,
         seed=seed,
         stage="cpu",
         default_budget=default_budget,
         salt_buckets=salt_buckets,
         robots_broadcast=robots_broadcast,
+        budget_col="max_claims_per_round" if budget_attached else None,
     )
     return claimed.select(
         "url", "canon_url", "host", "url_hash", "priority", "order_key", "budget"
@@ -632,6 +640,14 @@ class CrawlEngine:
             squeue = squeue.join(fetched_sitemaps, on="sitemap_url", how="left_anti")
 
         dim_rows_parent = parent_tables.get(self.ROBOTS_DIM, {}).get("total_rows", 0)
+        if dim_rows_parent or n_robots_fetched:
+            # the round's working dim feeds the rules+budget claim join
+            # AND the worklist anti-join — cache it for the round (the
+            # parquet base re-read + union re-plan are otherwise paid per
+            # consumer); released with the other round caches in the
+            # run_round finally
+            dim = dim.cache()
+            caches.append(dim)
         return {
             "dim": dim,
             "dim_nonempty": bool(dim_rows_parent or n_robots_fetched),

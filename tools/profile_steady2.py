@@ -79,6 +79,21 @@ def robots_bodies(hosts_df):
     )
 
 
+# plain engine baseline with the same telemetry
+root_p = tempfile.mkdtemp(prefix="prof_plain2", dir="/tmp")
+store_p = CheckpointStore(root_p, n_partitions=32)
+eng_p = CrawlEngine(spark, store_p, seed=5, default_budget=1 << 30)
+eng_p.bootstrap()
+eng_p.run_round(pages(0, 2_000_000), round_epoch=1)
+eng_p.run_round(pages(1_000_000, 3_000_000), round_epoch=2)
+t0 = time.perf_counter()
+eng_p.run_round(steady_pages(), round_epoch=3)
+tp = time.perf_counter() - t0
+print(f"plain round 3: {tp:.3f} s")
+for name, sec in sorted(store_p.last_commit_table_secs.items(), key=lambda kv: -kv[1]):
+    print(f"    commit[{name:16s}] {sec:7.3f} s")
+shutil.rmtree(root_p, ignore_errors=True)
+
 root = tempfile.mkdtemp(prefix="prof_steady2", dir="/tmp")
 store = CheckpointStore(root, n_partitions=32)
 eng = CrawlEngine(spark, store, seed=5, default_budget=1 << 30, discovery=True)
