@@ -130,3 +130,37 @@ def test_layout_expiry_keeps_referenced_base(spark, tmp_path):
         f.endswith(".parquet") for f in os.listdir(s1_dir)
     )
     assert st.read(spark, "side").count() == 200
+
+
+def test_append_commits_keep_file_count_bounded(spark, tmp_path):
+    """r07 regression: partitionBy writes must stay bucket-aligned (one
+    file per bucket per commit). Before the fix every input task wrote a
+    file into every bucket dir it touched, and since the NEXT commit's
+    scan tasks scale with file count, files snowballed round-over-round
+    (measured: a 1k-row Append onto a 50k-row table wrote 2,604 files)."""
+    st = CheckpointStore(str(tmp_path / "fc"), n_partitions=8)
+    df = _side(spark, n=5_000, hosts=50)
+    st.commit({"t": df.select("number", "host", "priority")}, seed=1, round_epoch=0)
+    for k in range(3):
+        extra = _side(spark, n=500, hosts=50).select(
+            (F.col("number") + 10_000 * (k + 1)).alias("number"),
+            "host",
+            "priority",
+        )
+        st.commit(
+            {"t": st.read(spark, "t").unionByName(extra)},
+            seed=1,
+            round_epoch=k + 1,
+            deltas={"t": Append(extra)},
+        )
+    snap = st.latest_snapshot_id()
+    tdir = os.path.join(str(tmp_path / "fc"), f"s{snap:06d}", "t")
+    n_files = sum(
+        1
+        for _, _, fs in os.walk(tdir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    # bucket-aligned: at most one file per bucket (8), not tasks x dirs
+    assert n_files <= 8, n_files
+    assert st.read(spark, "t").count() == 6_500
