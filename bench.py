@@ -393,6 +393,73 @@ def run_bench(spark, sf_dir: str) -> dict:
     )
     timings["flagship_follow_links_400k"] = follow_links_s
 
+    # crawl→curate composite at volume (r07): CrawlEngine(curate=True)
+    # runs the training-data pipeline — JVM text extraction → lang gate →
+    # quality gate → fingerprint dedup (within-round + vs the persisted
+    # corpus) — inside a real store-committed round. Round 1 (untimed)
+    # seeds 200k docs; the timed round curates 300k pages of which 100k
+    # are exact re-crawls (cross-round fingerprint dedup drops them).
+    # Best-of-2 over fresh stores, like the other stateful rounds.
+    import tempfile
+
+    from crawlingathome_server_spark.plans.rounds import CrawlEngine as _CE
+    from crawlingathome_server_spark.sources.checkpoint import (
+        CheckpointStore as _CS,
+    )
+
+    def _curate_bench_pages(lo: int, hi: int):
+        return spark.range(lo, hi).select(
+            F.concat(
+                F.lit("http://h"),
+                F.pmod(F.col("id"), F.lit(997)),
+                F.lit(".example.com/dir/page"),
+                F.col("id"),
+            ).alias("url"),
+            F.timestamp_seconds(
+                F.lit(1_600_000_000) + F.col("id") % 86_400
+            ).alias("warc_ts"),
+            F.concat(
+                F.lit("<html><head><title>t"),
+                F.col("id"),
+                F.lit("</title></head><body><p>"),
+                F.repeat(
+                    F.lit(filler), (F.pmod(F.col("id"), F.lit(5)) + 4).cast("int")
+                ),
+                F.lit("doc "),
+                F.col("id"),
+                F.lit("</p></body></html>"),
+            ).alias("html"),
+        )
+
+    curate_attempts = []
+    for _ in range(2):
+        cur_root = tempfile.mkdtemp(prefix="crawl_curate_bench", dir="/tmp")
+        cstore = _CS(cur_root, n_partitions=32)
+        ceng = _CE(
+            spark, cstore, seed=5, default_budget=1 << 30,
+            curate=True, curate_min_chars=50,
+        )
+        ceng.bootstrap()
+        ceng.run_round(_curate_bench_pages(0, 200_000), round_epoch=1)
+        curate_attempts.append((cur_root, cstore, ceng))
+    try:
+        cur_times = []
+        for _, _, ceng in curate_attempts:
+            t0 = time.perf_counter()
+            ceng.run_round(_curate_bench_pages(100_000, 400_000), round_epoch=2)
+            cur_times.append(time.perf_counter() - t0)
+        timings["crawl_curate_round_300k"] = round(min(cur_times), 4)
+        cc = curate_attempts[-1][1].read_manifest(
+            curate_attempts[-1][1].latest_snapshot_id()
+        )["counters"]
+        assert cc["n_curated"] == 200_000, cc
+        assert cc["n_corpus_total"] == 400_000, cc
+    finally:
+        for cur_root, _, _ in curate_attempts:
+            import shutil as _sh
+
+            _sh.rmtree(cur_root, ignore_errors=True)
+
     # one full crawl round THROUGH the checkpoint store at volume (VERDICT
     # r2 item #5): 2M pages in, bloom probe against the prior round's
     # persisted filter, politeness claim, seen-set delta-commit + filter
@@ -710,6 +777,11 @@ def run_bench(spark, sf_dir: str) -> dict:
         "follow_links_urls_scheduled": n_links_scheduled,
         "follow_links_pages_per_sec": round(n_html / follow_links_s, 1),
         "crawl_round_pages_per_sec": round(2_000_000 / crawl_round_s, 1),
+        # crawl→curate composite round: 300k fetched pages through
+        # extract → lang → quality → fingerprint dedup → corpus Append
+        "curate_pages_per_sec": round(
+            300_000 / timings["crawl_curate_round_300k"], 1
+        ),
         # steady-state discovery vs the plain crawl round. The r06
         # verdict's ~1.2x target was set against the r06 plain round
         # (17.5 s driver-recorded); the r07 commit/layout fixes halved
@@ -806,6 +878,7 @@ _COMPACT_KEYS = (
     "crawl_round_bytes_rewritten",
     "crawl_discovery_steady_ratio",
     "claim_bucketed_store_speedup",
+    "curate_pages_per_sec",
     "roundengine_8x_growth_patch",
     "roundengine_8x_growth_rewrite",
     "claim_sidecar_speedup_16m_1pct",

@@ -20,7 +20,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.urls import canonicalize_url_expr, host_of, seeded_hash64
@@ -342,6 +342,10 @@ class CrawlEngine:
     ROBOTS_DIM = "robots_dim"
     ROBOTS_QUEUE = "robots_queue"
     SITEMAP_QUEUE = "sitemap_queue"
+    #: curate=True corpus table — (fingerprint, canon_url, text, lang,
+    #: quality, n_tokens, curated_epoch), keyed + Append-deduped on the
+    #: rolling-hash fingerprint
+    CORPUS = "corpus_docs"
 
     def __init__(
         self,
@@ -358,6 +362,11 @@ class CrawlEngine:
         agent: str = "*",
         round_seconds: float = 30.0,
         follow_links: bool = False,
+        curate: bool = False,
+        curate_langs: tuple[str, ...] | None = ("en",),
+        curate_min_quality: float = 0.5,
+        curate_min_chars: int = 100,
+        curate_fingerprint: str = "xxhash64",
     ):
         if filter_kind not in ("bloom", "cuckoo"):
             raise ValueError(f"filter_kind must be 'bloom' or 'cuckoo': {filter_kind}")
@@ -378,6 +387,28 @@ class CrawlEngine:
         # instead of the page urls themselves — the true frontier-
         # expansion crawl; pages then need an `html` column
         self.follow_links = follow_links
+        # curate=True (r07): each round ALSO runs the training-data
+        # curation pipeline over the fetched pages — JVM text extraction
+        # → language gate → quality gate → fingerprint dedup (within the
+        # round AND against the accumulated corpus) — and commits the
+        # survivors to the `corpus_docs` table as an O(new docs) Append.
+        # The crawl loop then IS the end-to-end corpus builder: claim
+        # what to fetch next, curate what was fetched. Pages need `html`.
+        self.curate = curate
+        self.curate_langs = tuple(curate_langs) if curate_langs else None
+        self.curate_min_quality = curate_min_quality
+        self.curate_min_chars = curate_min_chars
+        # exact-dedup key over the extracted text: 'xxhash64' (default —
+        # one JVM intrinsic pass; the scale path) or 'rolling' (the
+        # SQL-parity char-polynomial functions/text.fingerprint — an
+        # interpreted per-codepoint higher-order fold, ~10× slower on
+        # multi-KB docs; keep for oracle-reproducible corpora)
+        if curate_fingerprint not in ("xxhash64", "rolling"):
+            raise ValueError(
+                f"curate_fingerprint must be 'xxhash64' or 'rolling': "
+                f"{curate_fingerprint}"
+            )
+        self.curate_fingerprint = curate_fingerprint
         # filter_kind='cuckoo' swaps the seen-filter for the partitioned
         # cuckoo filter (urlseen.build_cuckoo_filter): ~0.01% FPR and
         # O(expired) incremental DELETION. ttl_rounds enables re-crawl:
@@ -486,6 +517,92 @@ class CrawlEngine:
         )
         base = flt.join(F.broadcast(ids), on="bucket", how="left_semi")
         return urlseen.merge_seen_filters(base, delta)
+
+    # -- curation (r07) ----------------------------------------------------
+
+    def corpus(self, spark: SparkSession | None = None) -> DataFrame:
+        """The accumulated curated corpus (empty until a curate round)."""
+        from .. import schemas
+
+        spark = spark or self.spark
+        snap = self.store.latest_snapshot_id()
+        if snap is None or self.CORPUS not in self.store.read_manifest(snap)["tables"]:
+            return spark.createDataFrame([], schemas.CORPUS)
+        return self.store.read(spark, self.CORPUS)
+
+    def _curate_pages(
+        self, pages: DataFrame, round_epoch: int, parent_tables: dict
+    ) -> DataFrame:
+        """The round's curation pipeline over the FETCHED pages (curate
+        what was fetched; claim what to fetch next): JVM text extraction
+        → language gate → quality gate → within-round fingerprint dedup
+        (deterministic min canon_url per fingerprint) → anti-join against
+        the accumulated corpus (reads only the corpus fingerprint column
+        — column-pruned; the shuffle is O(round docs), never O(corpus)).
+        Returns the round's NEW corpus rows (uncached — callers cache)."""
+        from ..functions import text as tx
+
+        # Projection staging (the measured expand_frontier trap, worse
+        # here): a min-length FILTER directly on the extracted text gets
+        # its predicate SUBSTITUTED below the projection by
+        # PushDownPredicates, so the whole 3-regex extract chain re-runs
+        # inside the filter per conjunct (measured: `decode` appeared 3×
+        # in the plan). Instead: (1) a cheap html-length prefilter that
+        # pushes to the scan harmlessly (text ⊆ html, so short html can
+        # never pass the text gate); (2) extract staged in its own
+        # select — multi-referenced non-cheap alias, so CollapseProject
+        # keeps the stage; (3) ALL text-derived gates applied ABOVE the
+        # dedup window, which is a pushdown barrier for non-partition
+        # columns — every document is extracted and featurized exactly
+        # once. Gate order is sound because a fingerprint group has
+        # identical text → identical gate verdicts.
+        docs = pages.filter(
+            F.length("html") >= F.lit(self.curate_min_chars)
+        ).select(
+            canonicalize_url_expr(F.col("url")).alias("canon_url"),
+            tx.extract_text_jvm(F.col("html")).alias("text"),
+        )
+        fp = (
+            F.xxhash64("text")
+            if self.curate_fingerprint == "xxhash64"
+            else tx.fingerprint(F.col("text"))
+        )
+        docs = docs.select(
+            "canon_url",
+            "text",
+            tx.lang_id(F.col("text")).alias("lang"),
+            tx.quality_score(F.col("text")).alias("quality"),
+            tx.token_count_ws(F.col("text")).alias("n_tokens"),
+            fp.alias("fingerprint"),
+        )
+        w = Window.partitionBy("fingerprint").orderBy("canon_url")
+        docs = (
+            docs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        docs = docs.filter(
+            F.col("text").isNotNull()
+            & (F.length("text") >= F.lit(self.curate_min_chars))
+            & (F.col("quality") >= F.lit(self.curate_min_quality))
+        )
+        if self.curate_langs is not None:
+            docs = docs.filter(F.col("lang").isin(*self.curate_langs))
+        if self.CORPUS in parent_tables:
+            docs = docs.join(
+                self.store.read(self.spark, self.CORPUS).select("fingerprint"),
+                on="fingerprint",
+                how="left_anti",
+            )
+        return docs.select(
+            "fingerprint",
+            "canon_url",
+            "text",
+            "lang",
+            "quality",
+            "n_tokens",
+            F.lit(round_epoch).cast("long").alias("curated_epoch"),
+        )
 
     # -- discovery loop (r06) ----------------------------------------------
 
@@ -763,7 +880,7 @@ class CrawlEngine:
         # incrementally (O(expired)); a bloom cannot forget, so any expiry
         # forces its rebuild from the remaining exact set.
         n_expired, expired_keys, expired_df, flt_cached = 0, None, None, None
-        claimed, changed_flt = None, None
+        claimed, changed_flt, curated = None, None, None
         # every cached df is released in the finally even when the commit
         # aborts (e.g. a failed written-count read) — a long-lived engine
         # retrying rounds must not accumulate pinned filter/claim copies
@@ -816,6 +933,13 @@ class CrawlEngine:
             n_claimed = claimed.count()
             if disc is not None:
                 self._discovery_finish(disc, claimed)
+
+            n_curated = 0
+            if self.curate:
+                curated = self._curate_pages(
+                    pages, round_epoch, parent_manifest["tables"]
+                ).cache()
+                n_curated = curated.count()
             new_seen = claimed.select(
                 "canon_url", F.lit(round_epoch).cast("long").alias("seen_epoch")
             )
@@ -853,11 +977,22 @@ class CrawlEngine:
             if disc is not None:
                 deltas.update(disc["deltas"])
 
+            curate_tables: dict = {}
+            if self.curate:
+                # O(new docs) Append keyed on fingerprint; first curate
+                # round writes the table outright (no delta entry)
+                curate_tables[self.CORPUS] = self.corpus(spark).unionByName(
+                    curated
+                )
+                if self.CORPUS in parent_manifest["tables"]:
+                    deltas[self.CORPUS] = Append(curated)
+
             store.commit(
                 {
                     "seen_urls": seen_urls.unionByName(new_seen),
                     urlseen.FILTER_TABLE: flt,
                     **(disc["tables"] if disc is not None else {}),
+                    **curate_tables,
                 },
                 seed=self.seed,
                 round_epoch=round_epoch,
@@ -867,6 +1002,17 @@ class CrawlEngine:
                     "n_expired": n_expired,
                     "crawl_capacity": capacity,
                     "urlseen_params": params,
+                    **(
+                        {
+                            "n_curated": n_curated,
+                            "n_corpus_total": parent_manifest["counters"].get(
+                                "n_corpus_total", 0
+                            )
+                            + n_curated,
+                        }
+                        if self.curate
+                        else {}
+                    ),
                     **(disc["counters"] if disc is not None else {}),
                     # the streaming driver's exactly-once replay skip
                     # reads stream_batch_id from the LATEST manifest —
@@ -895,7 +1041,9 @@ class CrawlEngine:
             return claimed
         finally:
             disc_caches = disc["caches"] if disc is not None else []
-            for cached in (expired_df, flt_cached, changed_flt, claimed, *disc_caches):
+            for cached in (
+                expired_df, flt_cached, changed_flt, claimed, curated, *disc_caches
+            ):
                 if cached is not None:
                     cached.unpersist()
 

@@ -124,3 +124,18 @@ COUNTERS = T.StructType(
         T.StructField("expires", T.LongType(), False),  # epoch seconds
     ]
 )
+
+
+# Curated-corpus table (CrawlEngine curate=True, r07): one row per unique
+# document fingerprint that survived the language + quality gates.
+CORPUS = T.StructType(
+    [
+        T.StructField("fingerprint", T.LongType(), False),
+        T.StructField("canon_url", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("quality", T.DoubleType(), False),
+        T.StructField("n_tokens", T.LongType(), False),
+        T.StructField("curated_epoch", T.LongType(), False),
+    ]
+)

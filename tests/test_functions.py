@@ -410,3 +410,29 @@ def test_quality_score_ranges(spark):
     pages = datagen.pages(spark, seed=9, n=200)
     rows = pages.select(tx.quality_score(F.col("text")).alias("q")).collect()
     assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+def test_fingerprint_sequential_ids_collision_free():
+    """r07 regression: the old (FP_BASE=1000003, FP_MOD=10^12-11) pairing
+    satisfied B^2 ≡ 6B + 2 (mod M), making decimal-carry digit deltas
+    (+1,-6,-2) invisible at any position — sequential-id corpora
+    collided at ~42%. The constants must keep sequential-id texts (the id
+    embedded at TWO positions, the measured failure shape) collision-free,
+    and must not admit tiny-coefficient linear/quadratic relations."""
+    from crawlingathome_server_spark.functions.parity import FP_BASE, FP_MOD
+
+    seen = set()
+    filler = "lorem ipsum dolor sit amet " * 8
+    for i in range(20_000):
+        acc = 0
+        for c in f"t{i} {filler}doc {i}":
+            acc = (acc * FP_BASE + ord(c)) % FP_MOD
+        seen.add(acc)
+    assert len(seen) == 20_000
+
+    b2 = pow(FP_BASE, 2, FP_MOD)
+    for a in range(-64, 65):
+        r_lin = (a * FP_BASE) % FP_MOD
+        assert not (r_lin <= 64 or FP_MOD - r_lin <= 64) or a == 0
+        r = (b2 - a * FP_BASE) % FP_MOD
+        assert not (r <= 64 or FP_MOD - r <= 64), (a, r)

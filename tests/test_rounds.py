@@ -2073,3 +2073,100 @@ def test_crawl_engine_ttl_discovery_follow_links_composite(spark, tmp_path):
     # re-queue), other.example.com is STILL queued exactly once
     wl = [r["host"] for r in eng2.robots_worklist().collect()]
     assert wl == ["other.example.com"]
+
+
+def test_crawl_engine_curate_mode(spark, tmp_path):
+    """r07: curate=True makes the crawl loop the end-to-end corpus
+    builder — each round runs JVM text extraction → language gate →
+    quality gate → fingerprint dedup over the FETCHED pages and commits
+    survivors to corpus_docs as an O(new docs) Append. Asserts the
+    gates, within-round + cross-round dedup, restart persistence, and
+    the manifest counters."""
+    import datetime as dt
+
+    from crawlingathome_server_spark.plans.rounds import CrawlEngine
+
+    ts = dt.datetime(2021, 1, 1)
+    schema = "url string, warc_ts timestamp, html string"
+    good = (
+        "<html><body><p>"
+        + "the quick brown fox jumps over the lazy dog and that is fine "
+        * 4
+        + "</p></body></html>"
+    )
+    junk = "<html><body><p>%$#@! *** ;;; !!! ??? ,,, ...</p></body></html>"
+
+    def _engine(store):
+        return CrawlEngine(
+            spark, store, seed=3, default_budget=1 << 20,
+            curate=True, curate_min_chars=50,
+        )
+
+    store = CheckpointStore(str(tmp_path / "cur"), n_partitions=4)
+    eng = _engine(store)
+    eng.bootstrap()
+
+    # round 1: one good doc, one punctuation-soup doc (quality gate),
+    # one too-short doc (length gate)
+    c1 = eng.run_round(
+        spark.createDataFrame(
+            [
+                ("http://a.example.com/good", ts, good),
+                ("http://a.example.com/junk", ts, junk),
+                ("http://a.example.com/short", ts, "<p>tiny</p>"),
+            ],
+            schema=schema,
+        ),
+        round_epoch=1,
+    )
+    assert c1.count() == 3  # claiming is independent of curation
+    m1 = store.read_manifest(store.latest_snapshot_id())["counters"]
+    assert m1["n_curated"] == 1 and m1["n_corpus_total"] == 1
+    row = eng.corpus().collect()[0]
+    assert row["canon_url"] == "http://a.example.com/good"
+    assert row["lang"] == "en" and row["quality"] >= 0.5
+    assert row["n_tokens"] > 40
+
+    # round 2: the SAME text under two new urls (within-round dup keeps
+    # the min canon_url; cross-round dup vs round 1 drops both... the
+    # fingerprint already in the corpus wins) plus one genuinely new doc
+    good2 = good.replace("fox", "wolf")
+    eng.run_round(
+        spark.createDataFrame(
+            [
+                ("http://b.example.com/copy2", ts, good),
+                ("http://b.example.com/copy1", ts, good),
+                ("http://b.example.com/new", ts, good2),
+            ],
+            schema=schema,
+        ),
+        round_epoch=2,
+    )
+    m2 = store.read_manifest(store.latest_snapshot_id())["counters"]
+    assert m2["n_curated"] == 1 and m2["n_corpus_total"] == 2
+    urls = {r["canon_url"] for r in eng.corpus().collect()}
+    assert urls == {"http://a.example.com/good", "http://b.example.com/new"}
+
+    # RESTART: a fresh engine over the same store still dedups against
+    # the persisted corpus and appends only novel fingerprints
+    eng2 = _engine(CheckpointStore(str(tmp_path / "cur")))
+    good3 = good.replace("fox", "bear")
+    eng2.run_round(
+        spark.createDataFrame(
+            [
+                ("http://c.example.com/seen-text", ts, good2),
+                ("http://c.example.com/fresh", ts, good3),
+            ],
+            schema=schema,
+        ),
+        round_epoch=3,
+    )
+    m3 = store.read_manifest(store.latest_snapshot_id())["counters"]
+    assert m3["n_curated"] == 1 and m3["n_corpus_total"] == 3
+    corpus = eng2.corpus()
+    assert corpus.count() == 3
+    assert corpus.filter(F.col("curated_epoch") == 3).select(
+        "canon_url"
+    ).first()[0] == "http://c.example.com/fresh"
+    # corpus rows are unique per fingerprint (the Append key)
+    assert corpus.select("fingerprint").distinct().count() == 3
