@@ -495,3 +495,56 @@ def test_crawl_stream_discovery_fetcher(spark, tmp_path):
     assert per_round[2]["n_robots_fetched"] == 1
     assert per_round[2]["n_sitemaps_discovered"] == 1
     assert per_round[3]["n_sitemap_seeds"] == 1
+
+
+def test_crawl_stream_curate_matches_batch(spark, tmp_path):
+    """r07: curate=True composes with the streaming driver — two
+    micro-batches (with a checkpoint restart between them) build exactly
+    the corpus two batch rounds build, including cross-batch fingerprint
+    dedup against the persisted corpus."""
+    from crawlingathome_server_spark import datagen
+    from crawlingathome_server_spark.plans.rounds import CrawlEngine
+    from crawlingathome_server_spark.sources.checkpoint import CheckpointStore
+    from crawlingathome_server_spark.streaming.crawl import run_crawl_stream
+
+    pages1 = datagen.pages(spark, seed=71, n=200)
+    # batch 2 re-serves 100 of batch 1's pages (same html → same
+    # fingerprint → corpus dedup) plus 200 new ones
+    pages2 = datagen.pages(spark, seed=71, n=300).subtract(
+        datagen.pages(spark, seed=71, n=100)
+    )
+
+    def _engine(store):
+        return CrawlEngine(
+            spark, store, seed=5, default_budget=1 << 20,
+            curate=True, curate_min_chars=10, curate_langs=None,
+            curate_min_quality=0.0,
+        )
+
+    store_b = CheckpointStore(str(tmp_path / "batch"), n_partitions=4)
+    eng_b = _engine(store_b)
+    eng_b.bootstrap()
+    eng_b.run_round(pages1, round_epoch=1)
+    eng_b.run_round(pages2, round_epoch=2)
+    corpus_b = sorted(
+        (r["fingerprint"], r["canon_url"]) for r in eng_b.corpus().collect()
+    )
+    assert corpus_b
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    store_s = CheckpointStore(str(tmp_path / "stream"), n_partitions=4)
+    eng_s = _engine(store_s)
+    eng_s.bootstrap()
+    pages1.coalesce(1).write.mode("append").parquet(src)
+    q1 = run_crawl_stream(spark, eng_s, src, ckpt)
+    assert q1.awaitTermination(180)
+    pages2.coalesce(1).write.mode("append").parquet(src)
+    q2 = run_crawl_stream(spark, eng_s, src, ckpt)
+    assert q2.awaitTermination(180)
+
+    corpus_s = sorted(
+        (r["fingerprint"], r["canon_url"]) for r in eng_s.corpus().collect()
+    )
+    assert corpus_s == corpus_b
+    last = store_s.read_manifest(store_s.latest_snapshot_id())["counters"]
+    assert last["n_corpus_total"] == len(corpus_b)

@@ -32,6 +32,7 @@ AUDIT = [
     ("claim_batch column-budget 2M", "budgeted", "salted two-phase rank (two Window phases, plan-asserted in bench.py)"),
     ("extract_text_jvm", "extract_jvm", "pure JVM projection — zero shuffle, zero Python"),
     ("cuckoo probe 100k", "cuckoo_probe", "cogroup by bucket — table crosses Python once per bucket, like the bloom probe"),
+    ("curate pipeline (r07)", "curate", "extract staged ONCE (decode ×1 — the pushed-down length filter used to re-run it ×3); gates above the dedup-window barrier; Python-free"),
 ]
 
 
@@ -75,6 +76,16 @@ def build(name: str, spark):
         params = urlseen.auto_cuckoo_params(100_000)
         flt = urlseen.build_cuckoo_filter(urlseen.hash_urls(urls), **params)
         return urlseen.probe_cuckoo_filter(urlseen.hash_urls(urls), flt, **params)
+    if name == "curate":
+        from crawlingathome_server_spark.plans.rounds import CrawlEngine
+        from crawlingathome_server_spark.sources.checkpoint import CheckpointStore
+        import tempfile
+
+        store = CheckpointStore(tempfile.mkdtemp(prefix="audit_cur", dir="/tmp"))
+        eng = CrawlEngine(
+            spark, store, curate=True, curate_min_chars=50
+        )
+        return eng._curate_pages(datagen.pages(spark, seed=3, n=100), 1, {})
     if name == "extract_jvm":
         from crawlingathome_server_spark.functions.text import extract_text_jvm
 
