@@ -42,6 +42,12 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     from crawlingathome_server_spark.plans.rounds import expand_frontier
 
+    # noisy-neighbor telemetry (r07): same-code session runs spanned
+    # 114-167 s wall this round purely on box load; record the 1-min
+    # load at start/end so a cross-round diff can be adjudicated
+    # against the conditions it ran under
+    load_start = round(os.getloadavg()[0], 2)
+
     qs = se.queries()
     headline = [
         "j1_fk_prefetch_join",
@@ -733,6 +739,7 @@ def run_bench(spark, sf_dir: str) -> dict:
         "metric": "headline suite wall time",
         "value": total,
         "unit": "sec",
+        "loadavg_1m": {"start": load_start, "end": round(os.getloadavg()[0], 2)},
         "timing": "best-of-2 per query, noop-write sink (r03 protocol; "
         "crawl_round_2m_commit is single-shot — stateful)",
         "queries": timings,
@@ -879,6 +886,7 @@ _COMPACT_KEYS = (
     "crawl_discovery_steady_ratio",
     "claim_bucketed_store_speedup",
     "curate_pages_per_sec",
+    "loadavg_1m",
     "roundengine_8x_growth_patch",
     "roundengine_8x_growth_rewrite",
     "claim_sidecar_speedup_16m_1pct",

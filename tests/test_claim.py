@@ -216,3 +216,47 @@ def test_claim_under_pathological_host_skew(spark):
         .collect()
     }
     assert {r["number"] for r in per_host["hot.example.com"]} == want
+
+
+def test_claim_budget_col_equals_robots_join(spark):
+    """r07: claim_batch(budget_col=...) — the pre-attached per-host
+    budget path expand_frontier uses after folding the budget into its
+    single rules broadcast join — must claim EXACTLY what the classic
+    robots-join path claims, including hosts missing from the dim
+    (NULL budget → default) and the with_payload return contract."""
+    from crawlingathome_server_spark import datagen
+    from crawlingathome_server_spark.operators.claim import claim_batch
+
+    fr = datagen.frontier(spark, n=400)
+    robots = datagen.robots(spark)
+    a = claim_batch(fr, robots, seed=11, default_budget=3, with_payload=False)
+    pre = fr.join(
+        F.broadcast(robots.select("host", "max_claims_per_round")),
+        on="host",
+        how="left",
+    )
+    b = claim_batch(
+        pre,
+        None,
+        seed=11,
+        default_budget=3,
+        with_payload=False,
+        budget_col="max_claims_per_round",
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, b.select(*a.columns).collect())
+    )
+    # payload contract: budget_col returns as the canonical `budget`
+    # column and the raw attached column is dropped
+    bp = claim_batch(
+        pre,
+        None,
+        seed=11,
+        default_budget=3,
+        budget_col="max_claims_per_round",
+    )
+    assert "max_claims_per_round" not in bp.columns
+    ap = claim_batch(fr, robots, seed=11, default_budget=3)
+    assert sorted(map(tuple, ap.collect())) == sorted(
+        map(tuple, bp.select(*ap.columns).collect())
+    )
