@@ -25,6 +25,7 @@ from crawlingathome_server_spark.functions import text as tx
 from crawlingathome_server_spark.functions.names import display_name, display_name_sql
 from crawlingathome_server_spark.functions.parity import (
     char_fingerprint_sql,
+    md5_long_sql,
 )
 from crawlingathome_server_spark.functions.urls import oracle_hash, oracle_hash_sql
 from crawlingathome_server_spark import oracles as _oracles_mod
@@ -716,16 +717,35 @@ _CURATION_LANG = (
     f"round({_QF_QUALITY}, 6) AS quality FROM documents), "
     "kept AS (SELECT * FROM scored WHERE n_words >= 20 AND lang_pred = 'en' "
     "AND quality >= 0.5), "
-    "dedup AS (SELECT h, min(doc_id) AS keeper FROM kept GROUP BY h) "
-    "SELECT k.doc_id, k.n_words, k.lang_pred, k.quality FROM kept k JOIN dedup d "
-    "ON k.h = d.h AND k.doc_id = d.keeper",
+    "dedup AS (SELECT h, min(doc_id) AS keeper FROM kept GROUP BY h), "
+    "keepers AS (SELECT k.doc_id, k.h, k.n_words, k.lang_pred, k.quality "
+    "FROM kept k JOIN dedup d ON k.h = d.h AND k.doc_id = d.keeper), "
+    # the packing oracle mirrors operators/packing.pack_chunks in the
+    # md5 parity family: same order key, same exclusive prefix sum,
+    # same chunk arithmetic (HUGEINT sum and double floor() cast back
+    # to BIGINT — the documented DuckDB parity traps)
+    f"sharded AS (SELECT *, {md5_long_sql('h')} AS order_key FROM keepers), "
+    "packed AS (SELECT *, CAST(order_key % 8 AS INTEGER) AS shard FROM sharded), "
+    "offs AS (SELECT *, CAST(SUM(n_words + 1) OVER (PARTITION BY shard "
+    "ORDER BY order_key, h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "- (n_words + 1) AS BIGINT) AS stream_off FROM packed) "
+    "SELECT doc_id, n_words, lang_pred, quality, shard, stream_off, "
+    "CAST(floor(stream_off / 512) AS BIGINT) AS pack_id, "
+    "stream_off % 512 AS pack_off, "
+    "CAST(floor((stream_off + n_words) / 512) AS BIGINT) AS pack_id_last "
+    "FROM offs",
 )
 def t_curation(spark, sf_dir):
     """End-to-end training-data curation — the composed pipeline a
     data-curation user runs: length gate → language-ID gate (en) →
-    quality-score gate → exact content dedup → keeper set. Every stage
-    is a built-in expression; the whole pipeline is one scan + one
-    groupBy + one (broadcast) keeper join."""
+    quality-score gate → exact content dedup → keeper set → shard +
+    sequence-pack assignment (operators/packing.pack_chunks, the
+    concat-and-chunk export layout). Every stage up to packing is a
+    built-in expression in one scan + one groupBy + one (broadcast)
+    keeper join; packing adds exactly one shuffle (on shard) and one
+    running-sum window per shard."""
+    from crawlingathome_server_spark.operators import packing
+
     docs = _t(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
@@ -737,10 +757,19 @@ def t_curation(spark, sf_dir):
     kept = scored.filter(
         (F.col("n_words") >= 20) & (F.col("lang_pred") == "en") & (F.col("quality") >= 0.5)
     )
-    dedup = kept.groupBy("h").agg(F.min("doc_id").alias("keeper"))
-    return (
-        kept.join(dedup, (kept.h == dedup.h) & (kept.doc_id == dedup.keeper))
-        .select("doc_id", "n_words", "lang_pred", "quality")
+    dedup = kept.groupBy(F.col("h").alias("dh")).agg(
+        F.min("doc_id").alias("keeper")
+    )
+    keepers = kept.join(
+        dedup,
+        (F.col("h") == F.col("dh")) & (F.col("doc_id") == F.col("keeper")),
+    ).select("doc_id", "h", "n_words", "lang_pred", "quality")
+    return packing.pack_chunks(
+        keepers, 512, n_shards=8, token_col="n_words", key_col="h",
+        sep_tokens=1, hash_mode="md5",
+    ).select(
+        "doc_id", "n_words", "lang_pred", "quality", "shard",
+        "stream_off", "pack_id", "pack_off", "pack_id_last",
     )
 
 

@@ -406,6 +406,10 @@ def run_bench(spark, sf_dir: str) -> dict:
     # seeds 200k docs; the timed round curates 300k pages of which 100k
     # are exact re-crawls (cross-round fingerprint dedup drops them).
     # Best-of-2 over fresh stores, like the other stateful rounds.
+    # At this corpus size the dedup takes the exact anti-join path; the
+    # filter-first probe path (and its measured ~32M-doc local
+    # crossover) is benched separately in tools/curate_filter_bench.py
+    # → BENCH/curate_filter.json.
     import tempfile
 
     from crawlingathome_server_spark.plans.rounds import CrawlEngine as _CE
@@ -465,6 +469,33 @@ def run_bench(spark, sf_dir: str) -> dict:
             import shutil as _sh
 
             _sh.rmtree(cur_root, ignore_errors=True)
+
+    # training-data export packing at volume (r07): 2M synthesized doc
+    # stats (fingerprint + n_tokens — packing consumes stats columns,
+    # never text) through pack_chunks (pure built-in: one shuffle on
+    # shard + a per-shard running-sum window) and pack_greedy (the
+    # no-split applyInPandas packer) at 256 shards / seq_len 2048. At
+    # 10^9 docs the per-shard work is this same sort+scan at ~4M
+    # rows/shard, shard-parallel across the cluster.
+    from crawlingathome_server_spark.operators import packing as _packing
+
+    doc_stats_2m = spark.range(2_000_000).select(
+        F.xxhash64("id").alias("fingerprint"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1900)) + 120)
+        .cast("int")
+        .alias("n_tokens"),
+    )
+    _materialize(_packing.pack_chunks(doc_stats_2m, 2048, n_shards=256))
+    timings["pack_chunks_2m"] = best_of(
+        lambda: _materialize(
+            _packing.pack_chunks(doc_stats_2m, 2048, n_shards=256)
+        )
+    )
+    timings["pack_greedy_2m"] = best_of(
+        lambda: _materialize(
+            _packing.pack_greedy(doc_stats_2m, 2048, n_shards=256)
+        )
+    )
 
     # one full crawl round THROUGH the checkpoint store at volume (VERDICT
     # r2 item #5): 2M pages in, bloom probe against the prior round's

@@ -346,6 +346,11 @@ class CrawlEngine:
     #: quality, n_tokens, curated_epoch), keyed + Append-deduped on the
     #: rolling-hash fingerprint
     CORPUS = "corpus_docs"
+    #: the corpus dedup's probe accelerator (r07) — same bucketed
+    #: bloom/cuckoo structure as ``urlseen_filter``, keyed on the doc
+    #: fingerprint; sizing params ride the manifest counters as
+    #: ``corpus_params``/``corpus_capacity``
+    CORPUS_FILTER = "corpus_fp_filter"
 
     def __init__(
         self,
@@ -367,6 +372,7 @@ class CrawlEngine:
         curate_min_quality: float = 0.5,
         curate_min_chars: int = 100,
         curate_fingerprint: str = "xxhash64",
+        curate_filter_min_corpus: int = 30_000_000,
     ):
         if filter_kind not in ("bloom", "cuckoo"):
             raise ValueError(f"filter_kind must be 'bloom' or 'cuckoo': {filter_kind}")
@@ -398,6 +404,22 @@ class CrawlEngine:
         self.curate_langs = tuple(curate_langs) if curate_langs else None
         self.curate_min_quality = curate_min_quality
         self.curate_min_chars = curate_min_chars
+        # corpus-filter probe gate: below this corpus size the exact
+        # left-anti join is cheaper than the probe's ~3 s fixed cost
+        # (Python bloom crossing of the round's fingerprints + the
+        # confirm's bucket-collect); both paths are exact — this is
+        # purely a cost knob, and the filter is MAINTAINED from the
+        # first curate round either way, so crossing the threshold
+        # needs no rebuild. Measured (tools/curate_filter_bench.py →
+        # BENCH/curate_filter.json): local parity at ~32M corpus docs —
+        # both paths pay the same column-pruned O(corpus) scan, and the
+        # term the probe ELIMINATES (the exact join's corpus-wide
+        # shuffle+sort) costs ~nothing on single-node tmpfs but is the
+        # dominant per-round term on a network-shuffling cluster
+        # (~8 GB/round at 10^9 docs). The default is the measured local
+        # parity point; cluster deployments should drop it to ~4×
+        # round size.
+        self.curate_filter_min_corpus = curate_filter_min_corpus
         # exact-dedup key over the extracted text: 'xxhash64' (default —
         # one JVM intrinsic pass; the scale path) or 'rolling' (the
         # SQL-parity char-polynomial functions/text.fingerprint — an
@@ -451,9 +473,14 @@ class CrawlEngine:
 
     # -- filter helpers (bloom | cuckoo behind one shape) -------------------
 
-    def _build_filter(self, urls: DataFrame, capacity: int):
-        """(filter_df, params) sized for ``capacity`` items."""
-        hashed = urlseen.hash_urls(urls)
+    def _build_filter(
+        self, urls: DataFrame, capacity: int, key_col: str = "canon_url"
+    ):
+        """(filter_df, params) sized for ``capacity`` items. ``key_col``
+        names the column to hash — canon_url for the seen-set, the int64
+        ``fingerprint`` for the corpus filter (xxhash64 re-hashes either
+        type uniformly)."""
+        hashed = urlseen.hash_urls(urls, url_col=key_col)
         if self.filter_kind == "cuckoo":
             params = {**urlseen.auto_cuckoo_params(capacity), "kind": "cuckoo"}
             flt = urlseen.build_cuckoo_filter(
@@ -475,6 +502,7 @@ class CrawlEngine:
         new_urls: DataFrame,
         expired_keys: DataFrame | None,
         params: dict,
+        key_col: str = "canon_url",
     ) -> DataFrame:
         """The filter table's delta-commit row set for a grow round:
         every bucket touched by this round's inserts (and, for
@@ -487,7 +515,7 @@ class CrawlEngine:
         input here and are shared down the kind-specific paths.
         ``expired_keys`` is only ever non-None for kinds that delete
         in place (cuckoo); a bloom expiry forces a rebuild upstream."""
-        hashed = urlseen.hash_urls(new_urls)
+        hashed = urlseen.hash_urls(new_urls, url_col=key_col)
         ids = urlseen.touched_buckets(hashed, n_buckets=params["n_buckets"])
         if params.get("kind") == "cuckoo":
             changed = urlseen.insert_into_cuckoo(
@@ -503,7 +531,8 @@ class CrawlEngine:
                 # but their (already-deleted-from) tables must still
                 # commit — flt here is the post-delete filter
                 del_only = urlseen.touched_buckets(
-                    urlseen.hash_urls(expired_keys), n_buckets=params["n_buckets"]
+                    urlseen.hash_urls(expired_keys, url_col=key_col),
+                    n_buckets=params["n_buckets"],
                 ).join(ids, on="bucket", how="left_anti")
                 changed = changed.unionByName(
                     flt.join(F.broadcast(del_only), on="bucket", how="left_semi")
@@ -518,6 +547,27 @@ class CrawlEngine:
         base = flt.join(F.broadcast(ids), on="bucket", how="left_semi")
         return urlseen.merge_seen_filters(base, delta)
 
+    def _probe_filter(
+        self, hashed: DataFrame, flt: DataFrame, params: dict
+    ) -> DataFrame:
+        """Stamp ``maybe_seen`` on ``hashed`` (column ``url_hash``) via the
+        kind-appropriate probe — the expand_frontier branch factored out
+        so the corpus filter reuses it."""
+        if params.get("kind") == "cuckoo":
+            return urlseen.probe_cuckoo_filter(
+                hashed,
+                flt,
+                n_buckets=params["n_buckets"],
+                n_rows=params["n_rows"],
+            )
+        return urlseen.probe_seen_filter(
+            hashed,
+            flt,
+            n_buckets=params["n_buckets"],
+            bits_per_bucket=params["bits_per_bucket"],
+            k=params["k"],
+        )
+
     # -- curation (r07) ----------------------------------------------------
 
     def corpus(self, spark: SparkSession | None = None) -> DataFrame:
@@ -531,15 +581,35 @@ class CrawlEngine:
         return self.store.read(spark, self.CORPUS)
 
     def _curate_pages(
-        self, pages: DataFrame, round_epoch: int, parent_tables: dict
-    ) -> DataFrame:
+        self,
+        pages: DataFrame,
+        round_epoch: int,
+        parent_tables: dict,
+        corpus_filter: tuple[DataFrame, dict] | None = None,
+    ) -> tuple[DataFrame, DataFrame | None]:
         """The round's curation pipeline over the FETCHED pages (curate
         what was fetched; claim what to fetch next): JVM text extraction
         → language gate → quality gate → within-round fingerprint dedup
-        (deterministic min canon_url per fingerprint) → anti-join against
-        the accumulated corpus (reads only the corpus fingerprint column
-        — column-pruned; the shuffle is O(round docs), never O(corpus)).
-        Returns the round's NEW corpus rows (uncached — callers cache)."""
+        (deterministic min canon_url per fingerprint) → cross-round dedup
+        against the accumulated corpus.
+
+        Cross-round dedup is filter-first (r07, mirroring the url
+        seen-set): probe the persisted ``corpus_fp_filter`` with the
+        round's fingerprints — probe-NEGATIVES are definitely new (no
+        false negatives), so only the probe-positives (true dups + the
+        FPR share) need the exact confirm, a point-read of just the
+        corpus buckets those fingerprints hash into. Per-round dedup cost
+        is O(round docs) probe + O(dup share) confirm — never a shuffle
+        or even a scan of the full corpus, which the previous full
+        left-anti join paid every round (O(corpus) at 10^9+ docs).
+        Only the filter's absence (a pre-filter store resumed, or the
+        first curate round) falls back to the exact full anti-join.
+
+        Returns ``(new corpus rows, cache handle | None)`` — the handle
+        (the gated doc set, cached here because the confirm's bucket
+        derivation is an eager action and the extract chain must not run
+        twice) is the CALLER's to unpersist after materializing the
+        result."""
         from ..functions import text as tx
 
         # Projection staging (the measured expand_frontier trap, worse
@@ -588,7 +658,43 @@ class CrawlEngine:
         )
         if self.curate_langs is not None:
             docs = docs.filter(F.col("lang").isin(*self.curate_langs))
-        if self.CORPUS in parent_tables:
+        cache_handle: DataFrame | None = None
+        if corpus_filter is not None:
+            flt, params = corpus_filter
+            # both the probe chain and the final row set re-derive from
+            # the gated docs; the bucket derivation below is an EAGER
+            # collect, so without this cache the 3-regex extract chain
+            # would run once there and again at the caller's count
+            docs = docs.cache()
+            cache_handle = docs
+            hashed = urlseen.hash_urls(
+                docs.select("fingerprint"), url_col="fingerprint"
+            )
+            pos = (
+                self._probe_filter(hashed, flt, params)
+                .filter(F.col("maybe_seen"))
+                .select("fingerprint")
+            )
+            # exact confirm over ONLY the corpus buckets the positives
+            # hash into (store point-read, fingerprint column pruned);
+            # positives broadcast — the corpus side streams, never
+            # shuffles
+            seen_fps = self.store.read_buckets(
+                self.spark,
+                self.CORPUS,
+                keys=pos,
+                columns=("fingerprint",),
+            )
+            dup_fps = seen_fps.join(
+                F.broadcast(pos), on="fingerprint", how="left_semi"
+            )
+            docs = docs.join(
+                F.broadcast(dup_fps), on="fingerprint", how="left_anti"
+            )
+        elif self.CORPUS in parent_tables:
+            # no filter yet (first curate round commits one; a pre-filter
+            # store's first resumed round lands here once) — exact full
+            # anti-join against the corpus fingerprints
             docs = docs.join(
                 self.store.read(self.spark, self.CORPUS).select("fingerprint"),
                 on="fingerprint",
@@ -602,7 +708,7 @@ class CrawlEngine:
             "quality",
             "n_tokens",
             F.lit(round_epoch).cast("long").alias("curated_epoch"),
-        )
+        ), cache_handle
 
     # -- discovery loop (r06) ----------------------------------------------
 
@@ -862,6 +968,13 @@ class CrawlEngine:
         params = counters.get("urlseen_params")
         seen_urls = store.read(spark, "seen_urls")
         flt = store.read(spark, urlseen.FILTER_TABLE) if params is not None else None
+        corpus_params = counters.get("corpus_params")
+        corpus_capacity = counters.get("corpus_capacity", 0)
+        corpus_flt = (
+            store.read(spark, self.CORPUS_FILTER)
+            if corpus_params is not None
+            else None
+        )
 
         disc = None
         if self.discovery:
@@ -881,6 +994,7 @@ class CrawlEngine:
         # forces its rebuild from the remaining exact set.
         n_expired, expired_keys, expired_df, flt_cached = 0, None, None, None
         claimed, changed_flt, curated = None, None, None
+        curate_cache, changed_corpus_flt = None, None
         # every cached df is released in the finally even when the commit
         # aborts (e.g. a failed written-count read) — a long-lived engine
         # retrying rounds must not accumulate pinned filter/claim copies
@@ -936,9 +1050,19 @@ class CrawlEngine:
 
             n_curated = 0
             if self.curate:
-                curated = self._curate_pages(
-                    pages, round_epoch, parent_manifest["tables"]
-                ).cache()
+                curated, curate_cache = self._curate_pages(
+                    pages,
+                    round_epoch,
+                    parent_manifest["tables"],
+                    corpus_filter=(
+                        (corpus_flt, corpus_params)
+                        if corpus_params is not None
+                        and counters.get("n_corpus_total", 0)
+                        >= self.curate_filter_min_corpus
+                        else None
+                    ),
+                )
+                curated = curated.cache()
                 n_curated = curated.count()
             new_seen = claimed.select(
                 "canon_url", F.lit(round_epoch).cast("long").alias("seen_epoch")
@@ -952,7 +1076,7 @@ class CrawlEngine:
             # rewrites ONLY touched buckets by reading their parent dirs —
             # round commit cost is O(claims + expirations + touched
             # buckets), independent of total crawl size.
-            from ..sources.checkpoint import Append
+            from ..sources.checkpoint import UNCHANGED, Append
 
             deltas: dict = {"seen_urls": Append(new_seen, remove_keys=expired_keys)}
             if params is None or total > capacity:
@@ -986,6 +1110,35 @@ class CrawlEngine:
                 )
                 if self.CORPUS in parent_manifest["tables"]:
                     deltas[self.CORPUS] = Append(curated)
+                # corpus-filter maintenance mirrors the url seen-filter:
+                # (re)build at 2× headroom from the exact corpus when
+                # missing/outgrown (the parquet table is the truth),
+                # else OR/insert only this round's fingerprints into the
+                # touched buckets — an O(new docs) Append
+                total_corpus = counters.get("n_corpus_total", 0) + n_curated
+                if corpus_params is None or total_corpus > corpus_capacity:
+                    corpus_capacity = max(2 * total_corpus, 1024)
+                    corpus_flt, corpus_params = self._build_filter(
+                        curate_tables[self.CORPUS].select("fingerprint"),
+                        corpus_capacity,
+                        key_col="fingerprint",
+                    )
+                    curate_tables[self.CORPUS_FILTER] = corpus_flt
+                elif n_curated:
+                    changed_corpus_flt = self._filter_delta_rows(
+                        corpus_flt,
+                        curated.select("fingerprint"),
+                        None,
+                        corpus_params,
+                        key_col="fingerprint",
+                    ).cache()
+                    curate_tables[self.CORPUS_FILTER] = changed_corpus_flt
+                    deltas[self.CORPUS_FILTER] = Append(
+                        changed_corpus_flt, remove_keys=Append.SAME
+                    )
+                else:
+                    curate_tables[self.CORPUS_FILTER] = corpus_flt
+                    deltas[self.CORPUS_FILTER] = UNCHANGED
 
             store.commit(
                 {
@@ -1005,13 +1158,29 @@ class CrawlEngine:
                     **(
                         {
                             "n_curated": n_curated,
-                            "n_corpus_total": parent_manifest["counters"].get(
-                                "n_corpus_total", 0
-                            )
+                            "n_corpus_total": counters.get("n_corpus_total", 0)
                             + n_curated,
+                            "corpus_params": corpus_params,
+                            "corpus_capacity": corpus_capacity,
                         }
                         if self.curate
-                        else {}
+                        # a curate=False round over a curate store must
+                        # not erase the corpus bookkeeping: since r07 the
+                        # TABLES carry forward automatically, but counters
+                        # are writer-composed — dropping corpus_params
+                        # here would reset n_corpus_total to 0 and force
+                        # a full filter rebuild + exact anti-join on the
+                        # next curate round (same class as ADVICE r06 #1)
+                        # (n_curated is per-round and intentionally absent)
+                        else {
+                            k: counters[k]
+                            for k in (
+                                "n_corpus_total",
+                                "corpus_params",
+                                "corpus_capacity",
+                            )
+                            if k in counters
+                        }
                     ),
                     **(disc["counters"] if disc is not None else {}),
                     # the streaming driver's exactly-once replay skip
@@ -1042,7 +1211,8 @@ class CrawlEngine:
         finally:
             disc_caches = disc["caches"] if disc is not None else []
             for cached in (
-                expired_df, flt_cached, changed_flt, claimed, curated, *disc_caches
+                expired_df, flt_cached, changed_flt, claimed, curated,
+                curate_cache, changed_corpus_flt, *disc_caches
             ):
                 if cached is not None:
                     cached.unpersist()

@@ -2170,3 +2170,207 @@ def test_crawl_engine_curate_mode(spark, tmp_path):
     ).first()[0] == "http://c.example.com/fresh"
     # corpus rows are unique per fingerprint (the Append key)
     assert corpus.select("fingerprint").distinct().count() == 3
+
+
+def test_curate_corpus_filter_false_positives_confirmed(spark, tmp_path):
+    """The corpus fingerprint filter is an accelerator, not the truth
+    (r07): with a deliberately SATURATED (all-ones) bloom every round-2
+    fingerprint probes positive, and the exact bucket point-read confirm
+    must keep every genuinely-new doc while dropping the one true
+    cross-round dup — a false positive may cost a point-read, never a
+    document."""
+    import datetime as dt
+
+    from crawlingathome_server_spark.plans.rounds import CrawlEngine
+    from crawlingathome_server_spark.sources.checkpoint import CheckpointStore
+
+    ts = dt.datetime(2021, 1, 1)
+    schema = "url string, warc_ts timestamp, html string"
+
+    def _doc(word):
+        return (
+            "<html><body><p>"
+            + f"the quick brown {word} jumps over the lazy dog and that is fine "
+            * 4
+            + "</p></body></html>"
+        )
+
+    store = CheckpointStore(str(tmp_path / "fp"), n_partitions=4)
+    eng = CrawlEngine(
+        spark, store, seed=3, default_budget=1 << 20,
+        curate=True, curate_min_chars=50,
+    )
+    eng.bootstrap()
+    eng.run_round(
+        spark.createDataFrame(
+            [
+                ("http://a.example.com/fox", ts, _doc("fox")),
+                ("http://a.example.com/wolf", ts, _doc("wolf")),
+            ],
+            schema=schema,
+        ),
+        round_epoch=1,
+    )
+    parent_tables = store.read_manifest(store.latest_snapshot_id())["tables"]
+
+    # every bit set → probe answers maybe_seen=True for ANY fingerprint
+    params = {"kind": "bloom", "n_buckets": 2, "bits_per_bucket": 64, "k": 2}
+    flt = spark.createDataFrame(
+        [(0, bytes([255] * 8), 2), (1, bytes([255] * 8), 2)],
+        schema="bucket int, bitmap binary, n_items long",
+    )
+    pages2 = spark.createDataFrame(
+        [
+            ("http://b.example.com/bear", ts, _doc("bear")),
+            ("http://b.example.com/lynx", ts, _doc("lynx")),
+            ("http://b.example.com/dup-of-fox", ts, _doc("fox")),
+        ],
+        schema=schema,
+    )
+    docs, handle = eng._curate_pages(
+        pages2, 2, parent_tables, corpus_filter=(flt, params)
+    )
+    try:
+        got = {r["canon_url"] for r in docs.collect()}
+    finally:
+        if handle is not None:
+            handle.unpersist()
+    assert got == {
+        "http://b.example.com/bear",
+        "http://b.example.com/lynx",
+    }
+
+
+def test_curate_corpus_filter_rebuilds_on_growth(spark, tmp_path):
+    """Outgrowing corpus_capacity forces a 2×-headroom rebuild from the
+    exact corpus (a mis-sized filter silently blows FPR), and the
+    rebuilt filter still dedups every earlier round's fingerprint after
+    a store restart."""
+    import datetime as dt
+
+    from crawlingathome_server_spark.plans.rounds import CrawlEngine
+    from crawlingathome_server_spark.sources.checkpoint import CheckpointStore
+
+    ts = dt.datetime(2021, 1, 1)
+    schema = "url string, warc_ts timestamp, html string"
+
+    def _pages(lo, hi):
+        return spark.createDataFrame(
+            [
+                (
+                    f"http://h{i % 37}.example.com/p{i}",
+                    ts,
+                    "<html><body><p>the quick brown fox jumps over the "
+                    f"lazy dog and that is fine number {i}</p></body></html>",
+                )
+                for i in range(lo, hi)
+            ],
+            schema=schema,
+        )
+
+    def _engine(store):
+        return CrawlEngine(
+            spark, store, seed=3, default_budget=1 << 20,
+            curate=True, curate_min_chars=50,
+            curate_filter_min_corpus=0,  # force the probe path
+        )
+
+    store = CheckpointStore(str(tmp_path / "grow"), n_partitions=4)
+    eng = _engine(store)
+    eng.bootstrap()
+    eng.run_round(_pages(0, 600), round_epoch=1)
+    c1 = store.read_manifest(store.latest_snapshot_id())["counters"]
+    assert c1["n_corpus_total"] == 600 and c1["corpus_capacity"] == 1200
+
+    # 700 more crosses the 1200 cap → rebuild at 2×1300
+    eng.run_round(_pages(600, 1300), round_epoch=2)
+    c2 = store.read_manifest(store.latest_snapshot_id())["counters"]
+    assert c2["n_corpus_total"] == 1300 and c2["corpus_capacity"] == 2600
+    assert eng.corpus().count() == 1300
+
+    # RESTART; re-feed a slice of BOTH earlier rounds + 1 new doc — the
+    # rebuilt filter must have no false negatives (no doc re-enters)
+    eng2 = _engine(CheckpointStore(str(tmp_path / "grow")))
+    eng2.run_round(
+        _pages(0, 5).unionByName(_pages(900, 905)).unionByName(
+            _pages(5000, 5001)
+        ),
+        round_epoch=3,
+    )
+    c3 = store.read_manifest(store.latest_snapshot_id())["counters"]
+    assert c3["n_curated"] == 1 and c3["n_corpus_total"] == 1301
+    assert eng2.corpus().select("fingerprint").distinct().count() == 1301
+
+
+def test_curate_counters_survive_noncurate_round(spark, tmp_path):
+    """A curate=False engine round over a curate store must carry the
+    corpus bookkeeping forward (tables already carry via the r07 commit;
+    counters are writer-composed): n_corpus_total keeps accumulating and
+    the filter params survive, so the next curate round probes instead
+    of rebuilding — and still dedups exactly."""
+    import datetime as dt
+
+    from crawlingathome_server_spark.plans.rounds import CrawlEngine
+    from crawlingathome_server_spark.sources.checkpoint import CheckpointStore
+
+    ts = dt.datetime(2021, 1, 1)
+    schema = "url string, warc_ts timestamp, html string"
+
+    def _doc(word):
+        return (
+            "<html><body><p>"
+            + f"the quick brown {word} jumps over the lazy dog and that is fine "
+            * 4
+            + "</p></body></html>"
+        )
+
+    store = CheckpointStore(str(tmp_path / "nc"), n_partitions=4)
+    cur = CrawlEngine(
+        spark, store, seed=3, default_budget=1 << 20,
+        curate=True, curate_min_chars=50, curate_filter_min_corpus=0,
+    )
+    cur.bootstrap()
+    cur.run_round(
+        spark.createDataFrame(
+            [
+                ("http://a.example.com/fox", ts, _doc("fox")),
+                ("http://a.example.com/wolf", ts, _doc("wolf")),
+            ],
+            schema=schema,
+        ),
+        round_epoch=1,
+    )
+    c1 = store.read_manifest(store.latest_snapshot_id())["counters"]
+    assert c1["n_corpus_total"] == 2 and c1["corpus_params"] is not None
+
+    plain = CrawlEngine(spark, store, seed=3, default_budget=1 << 20)
+    plain.run_round(
+        spark.createDataFrame(
+            [("http://c.example.com/x", ts, "<p>x</p>")], schema=schema
+        ),
+        round_epoch=2,
+    )
+    c2 = store.read_manifest(store.latest_snapshot_id())["counters"]
+    assert c2["n_corpus_total"] == 2
+    assert c2["corpus_params"] == c1["corpus_params"]
+    assert c2["corpus_capacity"] == c1["corpus_capacity"]
+    assert "n_curated" not in c2
+
+    cur2 = CrawlEngine(
+        spark, store, seed=3, default_budget=1 << 20,
+        curate=True, curate_min_chars=50, curate_filter_min_corpus=0,
+    )
+    cur2.run_round(
+        spark.createDataFrame(
+            [
+                ("http://d.example.com/dup", ts, _doc("fox")),
+                ("http://d.example.com/new", ts, _doc("bear")),
+            ],
+            schema=schema,
+        ),
+        round_epoch=3,
+    )
+    c3 = store.read_manifest(store.latest_snapshot_id())["counters"]
+    assert c3["n_curated"] == 1 and c3["n_corpus_total"] == 3
+    # probes, not rebuilds: params object unchanged from round 1
+    assert c3["corpus_params"] == c1["corpus_params"]
