@@ -292,11 +292,29 @@ def jaccard_verify_expr(
     )
     hs_a = F.array_distinct(shingle_hashes_expr("__ta", shingle_k, hash_mode))
     hs_b = F.array_distinct(shingle_hashes_expr("__tb", shingle_k, hash_mode))
-    joined = joined.select("a", "b", hs_a.alias("hs_a"), hs_b.alias("hs_b"))
-    inter = F.size(F.array_intersect("hs_a", "hs_b"))
-    union = F.size(F.array_union("hs_a", "hs_b"))
+    # Explode staging (the measured expand_frontier/simhash trap, third
+    # sighting): a plain projection of hs_a/hs_b gets INLINED by
+    # CollapseProject, and the jaccard filter is then pushed into the
+    # text join's CONDITION — the executed plan re-derives the full
+    # shingle-hash arrays from raw text several times per pair (3× in
+    # the condition, 2× more in the projections above it). Staging the
+    # arrays below a single-row Generate makes them generator OUTPUT:
+    # the filter can't push below a Generate, so each side's array is
+    # computed exactly once per pair and the jaccard arithmetic runs on
+    # materialized arrays. Same values, ~2× less verify CPU at any
+    # scale (verify cost is O(pairs × doc length) — the dominant term
+    # when the candidate set is large).
+    staged = joined.select(
+        "a",
+        "b",
+        F.explode(F.array(F.struct(hs_a.alias("hs_a"), hs_b.alias("hs_b")))).alias(
+            "__hs"
+        ),
+    )
+    inter = F.size(F.array_intersect("__hs.hs_a", "__hs.hs_b"))
+    union = F.size(F.array_union("__hs.hs_a", "__hs.hs_b"))
     return (
-        joined.withColumn(
+        staged.withColumn(
             "jaccard",
             F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
                 F.lit(1.0)
