@@ -837,26 +837,38 @@ def t_token_count(spark, sf_dir):
     )
 
 
+_REP_SQL = tx.repetition_sql("text")
+
+
 @_q(
     "t_quality_features",
     "SELECT doc_id, length(text) AS n_chars, "
     f"{_QF_WORDS} AS n_words, "
     f"round({_QF_PUNCT} * 1.0 / length(text), 6) AS punct_ratio, "
-    f"round({_QF_QUALITY}, 6) AS quality "
+    f"round({_QF_QUALITY}, 6) AS quality, "
+    f"round({_REP_SQL['dup_line_fraction']}, 6) AS dup_line_fraction, "
+    f"round({_REP_SQL['dup_word_fraction']}, 6) AS dup_word_fraction, "
+    f"round({_REP_SQL['top_bigram_share']}, 6) AS top_bigram_share "
     "FROM documents",
 )
 def t_quality(spark, sf_dir):
     """Quality-scoring features — length / punct ratio — plus the
-    composite quality score in [0,1] (training-data op; the oracle SQL
-    mirrors the exact double-arithmetic expression tree so the score
-    hash-matches)."""
+    composite quality score in [0,1], plus the Gopher-style repetition
+    filters (duplicate-line / duplicate-word fraction, top-bigram
+    share — functions/text.repetition_features) a curation pass gates
+    on (training-data op; the oracle SQL mirrors the exact
+    double-arithmetic expression trees so every column hash-matches)."""
     f = tx.quality_features(F.col("text"))
+    rep = tx.repetition_features(F.col("text"))
     return _t(spark, sf_dir, "documents").select(
         "doc_id",
         f["n_chars"].alias("n_chars"),
         f["n_words"].alias("n_words"),
         F.round(f["punct_ratio"], 6).alias("punct_ratio"),
         F.round(tx.quality_score(F.col("text")), 6).alias("quality"),
+        F.round(rep["dup_line_fraction"], 6).alias("dup_line_fraction"),
+        F.round(rep["dup_word_fraction"], 6).alias("dup_word_fraction"),
+        F.round(rep["top_bigram_share"], 6).alias("top_bigram_share"),
     )
 
 

@@ -171,13 +171,23 @@ def expand_frontier(
         )
         if robots_broadcast:
             rules = F.broadcast(rules)
-        path = F.regexp_replace(F.col("canon_url"), r"^[a-z]+://[^/]+", "")
+        # __path staged as a COLUMN before the rule fold: the longest-
+        # match aggregates reference ``path`` inside their lambdas, and a
+        # higher-order lambda re-evaluates embedded OUTER subtrees per
+        # element (NOTES r07 lambda gotcha) — passing the regexp_replace
+        # expression directly would re-run the regex once per robots
+        # rule per url (× 2 folds). As an attribute it's one regex per
+        # url however many rules the host has.
         canon = (
-            canon.join(rules, on="host", how="left")
+            canon.withColumn(
+                "__path",
+                F.regexp_replace(F.col("canon_url"), r"^[a-z]+://[^/]+", ""),
+            )
+            .join(rules, on="host", how="left")
             .withColumn(
                 "__disallowed",
                 robots_disallowed(
-                    path,
+                    F.col("__path"),
                     F.col("disallow_prefixes"),
                     F.col("allow_prefixes") if has_allow else None,
                 ),
@@ -186,6 +196,7 @@ def expand_frontier(
             .drop(
                 "disallow_prefixes",
                 "__disallowed",
+                "__path",
                 *(["allow_prefixes"] if has_allow else []),
             )
         )
@@ -373,6 +384,8 @@ class CrawlEngine:
         curate_min_chars: int = 100,
         curate_fingerprint: str = "xxhash64",
         curate_filter_min_corpus: int = 30_000_000,
+        curate_max_dup_lines: float | None = None,
+        curate_max_top_bigram: float | None = None,
     ):
         if filter_kind not in ("bloom", "cuckoo"):
             raise ValueError(f"filter_kind must be 'bloom' or 'cuckoo': {filter_kind}")
@@ -404,6 +417,11 @@ class CrawlEngine:
         self.curate_langs = tuple(curate_langs) if curate_langs else None
         self.curate_min_quality = curate_min_quality
         self.curate_min_chars = curate_min_chars
+        # Gopher-style repetition gates (functions/text.repetition_features;
+        # Rae et al. 2021 use dup-line ≤ 0.30, top-2gram ≤ 0.20). None =
+        # gate off (and its feature column is never computed).
+        self.curate_max_dup_lines = curate_max_dup_lines
+        self.curate_max_top_bigram = curate_max_top_bigram
         # corpus-filter probe gate: below this corpus size the exact
         # left-anti join is cheaper than the probe's ~3 s fixed cost
         # (Python bloom crossing of the round's fingerprints + the
@@ -580,6 +598,34 @@ class CrawlEngine:
             return spark.createDataFrame([], schemas.CORPUS)
         return self.store.read(spark, self.CORPUS)
 
+    def export_corpus(
+        self,
+        path: str,
+        *,
+        n_shards: int,
+        seq_len: int | None = None,
+        hash_mode: str = "xxhash64",
+    ) -> DataFrame:
+        """Export the accumulated corpus as the sharded (and, with
+        ``seq_len``, sequence-packed) training-data layout
+        (operators/packing.export_corpus) and return the per-shard stats
+        table. The shard/order/pack assignment is a pure function of the
+        doc fingerprint, so re-exporting after more crawl rounds only
+        APPENDS new docs into their (stable) shards and offsets shift
+        deterministically — a resumable export, same guarantee the
+        store's commits give the crawl state."""
+        from ..operators import packing
+
+        return packing.export_corpus(
+            self.corpus(),
+            path,
+            n_shards=n_shards,
+            seq_len=seq_len,
+            token_col="n_tokens",
+            key_col="fingerprint",
+            hash_mode=hash_mode,
+        )
+
     def _curate_pages(
         self,
         pages: DataFrame,
@@ -637,6 +683,13 @@ class CrawlEngine:
             if self.curate_fingerprint == "xxhash64"
             else tx.fingerprint(F.col("text"))
         )
+        rep_cols = []
+        if self.curate_max_dup_lines is not None or self.curate_max_top_bigram is not None:
+            rep = tx.repetition_features(F.col("text"))
+            if self.curate_max_dup_lines is not None:
+                rep_cols.append(rep["dup_line_fraction"].alias("__dup_lines"))
+            if self.curate_max_top_bigram is not None:
+                rep_cols.append(rep["top_bigram_share"].alias("__top_bigram"))
         docs = docs.select(
             "canon_url",
             "text",
@@ -644,6 +697,7 @@ class CrawlEngine:
             tx.quality_score(F.col("text")).alias("quality"),
             tx.token_count_ws(F.col("text")).alias("n_tokens"),
             fp.alias("fingerprint"),
+            *rep_cols,
         )
         w = Window.partitionBy("fingerprint").orderBy("canon_url")
         docs = (
@@ -656,6 +710,14 @@ class CrawlEngine:
             & (F.length("text") >= F.lit(self.curate_min_chars))
             & (F.col("quality") >= F.lit(self.curate_min_quality))
         )
+        if self.curate_max_dup_lines is not None:
+            docs = docs.filter(
+                F.col("__dup_lines") <= F.lit(self.curate_max_dup_lines)
+            ).drop("__dup_lines")
+        if self.curate_max_top_bigram is not None:
+            docs = docs.filter(
+                F.col("__top_bigram") <= F.lit(self.curate_max_top_bigram)
+            ).drop("__top_bigram")
         if self.curate_langs is not None:
             docs = docs.filter(F.col("lang").isin(*self.curate_langs))
         cache_handle: DataFrame | None = None

@@ -412,6 +412,54 @@ def test_quality_score_ranges(spark):
     assert all(0.0 <= r["q"] <= 1.0 for r in rows)
 
 
+def test_repetition_features_exact_values(spark):
+    """Gopher-style repetition filters on hand-computed texts — the
+    driver oracle exercises the word/bigram columns on the (newline-free)
+    documents table, so the line path and the empty-input guards are
+    pinned here."""
+    cases = [
+        # 4 non-empty lines, 2 distinct -> dup 0.5; blank/whitespace
+        # lines don't count
+        ("nav\nbody one\n\n   \nnav\nbody one", 0.5),
+        # no newlines: one line, nothing repeats
+        ("plain text with no newlines", 0.0),
+        # all lines unique
+        ("a\nb\nc", 0.0),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], ["text"])
+    rep = tx.repetition_features(F.col("text"))
+    got = df.select(
+        rep["dup_line_fraction"].alias("dl"),
+        rep["dup_word_fraction"].alias("dw"),
+        rep["top_bigram_share"].alias("tb"),
+    ).collect()
+    for (text, want_dl), r in zip(cases, got):
+        assert abs(r["dl"] - want_dl) < 1e-12, (text, r["dl"])
+
+    # word/bigram exactness: "the cat the cat sat" -> 5 words, 3 distinct
+    # -> dup_word 0.4; bigrams [the cat, cat the, the cat, cat sat] ->
+    # top "the cat" 2/4 = 0.5
+    one = spark.createDataFrame([("the cat the cat sat",)], ["text"])
+    rep1 = tx.repetition_features(F.col("text"))
+    r = one.select(
+        rep1["dup_word_fraction"].alias("dw"),
+        rep1["top_bigram_share"].alias("tb"),
+    ).first()
+    assert abs(r["dw"] - 0.4) < 1e-12
+    assert abs(r["tb"] - 0.5) < 1e-12
+
+    # guards: single word has no bigrams -> 0; empty string -> all 0
+    edge = spark.createDataFrame([("word",), ("",)], ["text"])
+    repe = tx.repetition_features(F.col("text"))
+    rows = edge.select(
+        repe["dup_line_fraction"].alias("dl"),
+        repe["dup_word_fraction"].alias("dw"),
+        repe["top_bigram_share"].alias("tb"),
+    ).collect()
+    assert rows[0]["tb"] == 0.0 and rows[0]["dw"] == 0.0
+    assert rows[1]["dl"] == 0.0 and rows[1]["dw"] == 0.0 and rows[1]["tb"] == 0.0
+
+
 def test_fingerprint_sequential_ids_collision_free():
     """r07 regression: the old (FP_BASE=1000003, FP_MOD=10^12-11) pairing
     satisfied B^2 ≡ 6B + 2 (mod M), making decimal-carry digit deltas

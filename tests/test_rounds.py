@@ -2172,6 +2172,130 @@ def test_crawl_engine_curate_mode(spark, tmp_path):
     assert corpus.select("fingerprint").distinct().count() == 3
 
 
+def test_curate_export_corpus(spark, tmp_path):
+    """r07: engine.export_corpus writes the shard=K/ packed layout from
+    the persisted corpus and the assignment is stable across re-exports
+    after more rounds (pure function of the fingerprint)."""
+    import datetime as dt
+
+    from crawlingathome_server_spark.plans.rounds import CrawlEngine
+
+    ts = dt.datetime(2021, 1, 1)
+    schema = "url string, warc_ts timestamp, html string"
+
+    def _doc(word):
+        return (
+            "<html><body><p>"
+            + f"the quick brown {word} jumps over the lazy dog and that is fine "
+            * 4
+            + "</p></body></html>"
+        )
+
+    store = CheckpointStore(str(tmp_path / "exp"), n_partitions=4)
+    eng = CrawlEngine(
+        spark, store, seed=3, default_budget=1 << 20,
+        curate=True, curate_min_chars=50,
+    )
+    eng.bootstrap()
+    eng.run_round(
+        spark.createDataFrame(
+            [(f"http://a.example.com/{w}", ts, _doc(w)) for w in ("fox", "wolf", "lynx")],
+            schema=schema,
+        ),
+        round_epoch=1,
+    )
+    out1 = str(tmp_path / "export1")
+    stats = eng.export_corpus(out1, n_shards=2, seq_len=64).collect()
+    assert sum(s["n_docs"] for s in stats) == 3
+    exported = spark.read.parquet(out1)
+    assert exported.count() == 3
+    assert {"shard", "stream_off", "pack_id"} <= set(exported.columns)
+    first = {
+        r["fingerprint"]: (r["shard"], r["order_key"])
+        for r in exported.collect()
+    }
+
+    # one more round, re-export: old docs keep their shard + order key
+    eng.run_round(
+        spark.createDataFrame(
+            [("http://a.example.com/bear", ts, _doc("bear"))], schema=schema
+        ),
+        round_epoch=2,
+    )
+    out2 = str(tmp_path / "export2")
+    stats2 = eng.export_corpus(out2, n_shards=2, seq_len=64).collect()
+    assert sum(s["n_docs"] for s in stats2) == 4
+    second = {
+        r["fingerprint"]: (r["shard"], r["order_key"])
+        for r in spark.read.parquet(out2).collect()
+    }
+    for fp, assign in first.items():
+        assert second[fp] == assign
+
+
+def test_curate_repetition_gates(spark, tmp_path):
+    """r07: the Gopher-style repetition gates (curate_max_dup_lines /
+    curate_max_top_bigram, functions/text.repetition_features) drop
+    boilerplate-repetitive documents inside the engine's curate
+    pipeline while diverse text of the same length/quality survives."""
+    import datetime as dt
+
+    from crawlingathome_server_spark.plans.rounds import CrawlEngine
+
+    ts = dt.datetime(2021, 1, 1)
+    schema = "url string, warc_ts timestamp, html string"
+    # diverse: every bigram distinct, still en/quality-passing
+    diverse = (
+        "<html><body><p>the quick brown fox jumps over one lazy dog and "
+        "this is a rather long fine sentence with many varied small words "
+        "that keep the stopword ratio high for the scoring gate</p></body></html>"
+    )
+    # repetitive: one sentence looped — its top bigram dominates
+    repetitive = (
+        "<html><body><p>"
+        + "the cat sat on the mat " * 12
+        + "</p></body></html>"
+    )
+
+    store = CheckpointStore(str(tmp_path / "repgate"), n_partitions=4)
+    eng = CrawlEngine(
+        spark, store, seed=3, default_budget=1 << 20,
+        curate=True, curate_min_chars=50,
+        # the looped 6-word sentence's top bigram ("the cat") takes
+        # 12/71 = 0.169 of all bigrams; the diverse doc's top takes
+        # 0.032 — the 0.1 gate separates them
+        curate_max_dup_lines=0.3, curate_max_top_bigram=0.1,
+    )
+    eng.bootstrap()
+    eng.run_round(
+        spark.createDataFrame(
+            [
+                ("http://a.example.com/diverse", ts, diverse),
+                ("http://a.example.com/loop", ts, repetitive),
+            ],
+            schema=schema,
+        ),
+        round_epoch=1,
+    )
+    urls = [r["canon_url"] for r in eng.corpus().collect()]
+    assert urls == ["http://a.example.com/diverse"]
+    # gates off: the same repetitive doc passes (control — proves the
+    # drop above came from the repetition gate, not quality/length)
+    store2 = CheckpointStore(str(tmp_path / "repgate_off"), n_partitions=4)
+    eng2 = CrawlEngine(
+        spark, store2, seed=3, default_budget=1 << 20,
+        curate=True, curate_min_chars=50,
+    )
+    eng2.bootstrap()
+    eng2.run_round(
+        spark.createDataFrame(
+            [("http://a.example.com/loop", ts, repetitive)], schema=schema
+        ),
+        round_epoch=1,
+    )
+    assert eng2.corpus().count() == 1
+
+
 def test_curate_corpus_filter_false_positives_confirmed(spark, tmp_path):
     """The corpus fingerprint filter is an accelerator, not the truth
     (r07): with a deliberately SATURATED (all-ones) bloom every round-2
