@@ -86,14 +86,25 @@ def minhash_signatures(
 
 def shingle_expr(text_col: str, shingle_k: int):
     """Word k-shingles as a JVM array expression (shared by both expr
-    hash modes; SQL twin in oracles.shingles_sql)."""
+    hash modes; SQL twin in oracles.shingles_sql).
+
+    Built as a zip_with chain over k shifted slices, NOT a
+    transform-with-slice (r07, same finding as
+    functions/text.bigrams_expr): a lambda referencing the outer
+    ``words`` expression re-evaluates the split PER ELEMENT —
+    higher-order lambdas bind only their variables; embedded subtrees
+    re-run per call — which made shingling O(doc_len²). Every lambda
+    here touches only its arguments; ``words`` is referenced k+2 times
+    OUTSIDE lambdas (k+2 linear splits per doc)."""
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = F.filter(
-        F.transform(
-            words, lambda x, i: F.array_join(F.slice(words, i + 1, shingle_k), " ")
-        ),
-        lambda g: F.size(F.split(g, " ")) >= shingle_k,
-    )
+    n = F.size(words)
+    grams = F.slice(words, 1, n - shingle_k + 1)
+    for j in range(2, shingle_k + 1):
+        grams = F.zip_with(
+            grams,
+            F.slice(words, j, n - shingle_k + 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
     return F.when(F.size(words) < shingle_k, F.array(F.array_join(words, " "))).otherwise(
         grams
     )
@@ -601,19 +612,26 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Word n-gram Jaccard for explicit candidate pairs — pure built-in
-    array ops (no Python): split → sliding n-grams via transform+slice →
-    array_intersect/union."""
+    array ops (no Python): split → sliding n-grams via a zip_with chain
+    over shifted slices (NOT transform-with-slice, whose lambda
+    re-evaluates the outer split per element — the r07 higher-order-
+    lambda gotcha, see shingle_expr) → array_intersect/union. A doc with
+    fewer than ``n`` words contributes an empty gram set (unchanged
+    semantics: the old filter dropped every short gram)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.size(words)
+    chain = F.slice(words, 1, n_words - n + 1)
+    for j in range(2, n + 1):
+        chain = F.zip_with(
+            chain,
+            F.slice(words, j, n_words - n + 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
     grams = docs.select(
         F.col(id_col),
         F.array_distinct(
-            F.filter(
-                F.transform(
-                    F.split(F.trim(F.col(text_col)), r"\s+"),
-                    lambda x, i: F.array_join(
-                        F.slice(F.split(F.trim(F.col(text_col)), r"\s+"), i + 1, n), " "
-                    ),
-                ),
-                lambda g: F.size(F.split(g, " ")) >= n,
+            F.when(n_words >= n, chain).otherwise(
+                F.array().cast("array<string>")
             )
         ).alias("grams"),
     )
