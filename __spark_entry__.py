@@ -732,7 +732,9 @@ _CURATION_LANG = (
     "SELECT doc_id, n_words, lang_pred, quality, shard, stream_off, "
     "CAST(floor(stream_off / 512) AS BIGINT) AS pack_id, "
     "stream_off % 512 AS pack_off, "
-    "CAST(floor((stream_off + n_words) / 512) AS BIGINT) AS pack_id_last "
+    # last CONTENT token's chunk (separator excluded; n_words >= 20
+    # here so the zero-token greatest() guard is vacuous in SQL)
+    "CAST(floor((stream_off + n_words - 1) / 512) AS BIGINT) AS pack_id_last "
     "FROM offs",
 )
 def t_curation(spark, sf_dir):

@@ -578,6 +578,15 @@ def run_bench(spark, sf_dir: str) -> dict:
     # politeness work — every discovery round pays it, see the steady
     # row), ~2.4 s worklist bookkeeping (ingest anti-joins + claimed-
     # host distinct), ~1 s extra commit tables (concurrent, max-bound).
+    # Steady-round decomposition (tools/profile_steady2.py, quiet, late
+    # r07 after the __path staging fix): 14.0 s vs plain 7.7 s =
+    # +3.3 s budgeted CLAIM (the salted two-phase per-host rank + rule
+    # fold the politeness dim semantically requires — the plain round
+    # ranks against one literal budget), +0.9 s ingest (1k bodies),
+    # +1.3 s finish (claimed-host distinct + worklist anti-joins),
+    # +0.8 s commit growth (5 tables concurrent, max-bound at the
+    # urlseen_filter table). The ~1.8× steady ratio IS the price of
+    # politeness-governed claiming, not discovery bookkeeping.
     def _robots_bodies(hosts_df):
         return hosts_df.select(
             "host",

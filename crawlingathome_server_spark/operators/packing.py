@@ -91,8 +91,10 @@ def pack_chunks(
     ``stream_off`` (first token's position on the shard's stream),
     ``pack_id`` (the ``seq_len``-sized chunk that position falls in),
     ``pack_off`` (position within that chunk) and ``pack_id_last`` (the
-    chunk holding the doc's final token — ``> pack_id`` means the doc
-    straddles one or more cuts).
+    chunk holding the doc's final CONTENT token, separators excluded —
+    ``> pack_id`` means the doc itself straddles one or more cuts; a
+    doc whose last token lands exactly on a cut with only its separator
+    spilling over does NOT straddle).
 
     One shuffle (on ``shard``), one running-sum window per shard; the
     writer downstream cuts exact sequences from (stream_off, span)
@@ -117,8 +119,15 @@ def pack_chunks(
         .withColumn("pack_off", F.col("stream_off") % F.lit(seq_len))
         .withColumn(
             "pack_id_last",
+            # greatest(n,1)-1 keeps a zero-token doc inside its own
+            # pack_id instead of pack_id - 1
             F.floor(
-                (F.col("stream_off") + span - F.lit(1)) / F.lit(seq_len)
+                (
+                    F.col("stream_off")
+                    + F.greatest(F.col(token_col).cast("long"), F.lit(1))
+                    - F.lit(1)
+                )
+                / F.lit(seq_len)
             ),
         )
     )
@@ -226,4 +235,9 @@ def export_corpus(
     ]
     if seq_len is not None:
         stats.append((F.max("pack_id_last") + F.lit(1)).alias("n_packs"))
-    return out.groupBy("shard").agg(*stats)
+    # stats from the parquet just written, NOT from `out` — a second
+    # action over the uncached pipeline would re-run the shard shuffle
+    # and every per-shard window sort (the export's dominant cost) just
+    # to aggregate three numbers; this is a column-pruned scan instead
+    docs_spark = docs.sparkSession
+    return docs_spark.read.parquet(path).groupBy("shard").agg(*stats)

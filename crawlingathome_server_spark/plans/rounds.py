@@ -651,11 +651,11 @@ class CrawlEngine:
         Only the filter's absence (a pre-filter store resumed, or the
         first curate round) falls back to the exact full anti-join.
 
-        Returns ``(new corpus rows, cache handle | None)`` — the handle
-        (the gated doc set, cached here because the confirm's bucket
-        derivation is an eager action and the extract chain must not run
-        twice) is the CALLER's to unpersist after materializing the
-        result."""
+        Returns ``(new corpus rows, cache handles)`` — the handles (the
+        gated doc set and the probe-positive set, cached here because
+        the confirm's bucket derivation is an eager action and neither
+        the extract chain nor the filter probe must run twice) are the
+        CALLER's to unpersist after materializing the result."""
         from ..functions import text as tx
 
         # Projection staging (the measured expand_frontier trap, worse
@@ -720,7 +720,7 @@ class CrawlEngine:
             ).drop("__top_bigram")
         if self.curate_langs is not None:
             docs = docs.filter(F.col("lang").isin(*self.curate_langs))
-        cache_handle: DataFrame | None = None
+        caches: list[DataFrame] = []
         if corpus_filter is not None:
             flt, params = corpus_filter
             # both the probe chain and the final row set re-derive from
@@ -728,7 +728,7 @@ class CrawlEngine:
             # collect, so without this cache the 3-regex extract chain
             # would run once there and again at the caller's count
             docs = docs.cache()
-            cache_handle = docs
+            caches.append(docs)
             hashed = urlseen.hash_urls(
                 docs.select("fingerprint"), url_col="fingerprint"
             )
@@ -736,7 +736,15 @@ class CrawlEngine:
                 self._probe_filter(hashed, flt, params)
                 .filter(F.col("maybe_seen"))
                 .select("fingerprint")
+                # cached because it feeds TWO actions: read_buckets'
+                # eager bucket derivation here, and the dup_fps
+                # broadcast inside the final row set — without it the
+                # filter-table probe join re-executes at the caller's
+                # materialization (measured as a 2x on the probe's
+                # fixed cost)
+                .cache()
             )
+            caches.append(pos)
             # exact confirm over ONLY the corpus buckets the positives
             # hash into (store point-read, fingerprint column pruned);
             # positives broadcast — the corpus side streams, never
@@ -770,7 +778,7 @@ class CrawlEngine:
             "quality",
             "n_tokens",
             F.lit(round_epoch).cast("long").alias("curated_epoch"),
-        ), cache_handle
+        ), caches
 
     # -- discovery loop (r06) ----------------------------------------------
 
@@ -1056,7 +1064,7 @@ class CrawlEngine:
         # forces its rebuild from the remaining exact set.
         n_expired, expired_keys, expired_df, flt_cached = 0, None, None, None
         claimed, changed_flt, curated = None, None, None
-        curate_cache, changed_corpus_flt = None, None
+        curate_caches, changed_corpus_flt = [], None
         # every cached df is released in the finally even when the commit
         # aborts (e.g. a failed written-count read) — a long-lived engine
         # retrying rounds must not accumulate pinned filter/claim copies
@@ -1112,7 +1120,7 @@ class CrawlEngine:
 
             n_curated = 0
             if self.curate:
-                curated, curate_cache = self._curate_pages(
+                curated, curate_caches = self._curate_pages(
                     pages,
                     round_epoch,
                     parent_manifest["tables"],
@@ -1274,7 +1282,7 @@ class CrawlEngine:
             disc_caches = disc["caches"] if disc is not None else []
             for cached in (
                 expired_df, flt_cached, changed_flt, claimed, curated,
-                curate_cache, changed_corpus_flt, *disc_caches
+                *curate_caches, changed_corpus_flt, *disc_caches
             ):
                 if cached is not None:
                     cached.unpersist()

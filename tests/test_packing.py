@@ -46,7 +46,9 @@ def _chunk_reference(rows, seq_len=SEQ, sep=1):
                 off,
                 off // seq_len,
                 off % seq_len,
-                (off + span - 1) // seq_len,
+                # last CONTENT token's chunk (separators excluded;
+                # max(n,1)-1 keeps a zero-token doc in its own pack_id)
+                (off + max(r["n_tokens"], 1) - 1) // seq_len,
             )
             off += span
     return out

@@ -2351,13 +2351,13 @@ def test_curate_corpus_filter_false_positives_confirmed(spark, tmp_path):
         ],
         schema=schema,
     )
-    docs, handle = eng._curate_pages(
+    docs, handles = eng._curate_pages(
         pages2, 2, parent_tables, corpus_filter=(flt, params)
     )
     try:
         got = {r["canon_url"] for r in docs.collect()}
     finally:
-        if handle is not None:
+        for handle in handles:
             handle.unpersist()
     assert got == {
         "http://b.example.com/bear",

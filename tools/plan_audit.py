@@ -85,7 +85,8 @@ def build(name: str, spark):
         eng = CrawlEngine(
             spark, store, curate=True, curate_min_chars=50
         )
-        return eng._curate_pages(datagen.pages(spark, seed=3, n=100), 1, {})
+        df, _caches = eng._curate_pages(datagen.pages(spark, seed=3, n=100), 1, {})
+        return df
     if name == "extract_jvm":
         from crawlingathome_server_spark.functions.text import extract_text_jvm
 
