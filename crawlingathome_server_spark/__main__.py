@@ -50,6 +50,38 @@ def main(argv: list[str] | None = None) -> int:
         "merge-on-read layers (O(delta), default); append = bucket-delta; "
         "rewrite = full-plan (the equivalence oracle)",
     )
+    # crawl-mode engine features (r06/r07)
+    ap.add_argument(
+        "--discovery", action="store_true",
+        help="crawl mode: maintain robots/sitemap worklists + politeness dim",
+    )
+    ap.add_argument(
+        "--follow-links", action="store_true",
+        help="crawl mode: candidates are crawled pages' outgoing hrefs",
+    )
+    ap.add_argument(
+        "--curate", action="store_true",
+        help="crawl mode: run the training-data pipeline each round "
+        "(extract → lang/quality/repetition gates → fingerprint dedup → corpus_docs)",
+    )
+    ap.add_argument("--curate-min-quality", type=float, default=0.5)
+    ap.add_argument("--curate-min-chars", type=int, default=100)
+    ap.add_argument(
+        "--curate-langs", default=None,
+        help="comma-separated lang whitelist (e.g. en,de); default: all",
+    )
+    ap.add_argument("--curate-max-dup-lines", type=float, default=None)
+    ap.add_argument("--curate-max-top-bigram", type=float, default=None)
+    ap.add_argument(
+        "--export-corpus", default=None, metavar="PATH",
+        help="after the rounds, export the curated corpus as the sharded "
+        "(optionally sequence-packed) training layout",
+    )
+    ap.add_argument("--export-shards", type=int, default=16)
+    ap.add_argument(
+        "--export-seq-len", type=int, default=None,
+        help="sequence length for concat-and-chunk packing (omit = shards only)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -70,7 +102,18 @@ def main(argv: list[str] | None = None) -> int:
     store = CheckpointStore(args.store)
 
     if args.mode == "crawl":
-        eng = CrawlEngine(spark, store, seed=args.seed, default_budget=args.budget)
+        eng = CrawlEngine(
+            spark, store, seed=args.seed, default_budget=args.budget,
+            discovery=args.discovery, follow_links=args.follow_links,
+            curate=args.curate,
+            curate_min_quality=args.curate_min_quality,
+            curate_min_chars=args.curate_min_chars,
+            curate_langs=(
+                args.curate_langs.split(",") if args.curate_langs else None
+            ),
+            curate_max_dup_lines=args.curate_max_dup_lines,
+            curate_max_top_bigram=args.curate_max_top_bigram,
+        )
         if store.latest_snapshot_id() is None:
             eng.bootstrap(round_epoch=args.epoch0)
             print(json.dumps({"event": "bootstrap", "snapshot": 1, "mode": "crawl"}))
@@ -84,12 +127,31 @@ def main(argv: list[str] | None = None) -> int:
             )
             claimed = eng.run_round(pages, round_epoch=base + (k + 1) * 300)
             m = store.read_manifest(store.latest_snapshot_id())["counters"]
-            print(json.dumps({
+            out = {
                 "event": "crawl_round",
                 "snapshot": store.latest_snapshot_id(),
                 "n_claimed": m["n_claimed"],
                 "n_seen": m["n_seen"],
                 "filter_buckets": m["urlseen_params"]["n_buckets"],
+            }
+            if args.curate:
+                out["n_curated"] = m["n_curated"]
+                out["n_corpus_total"] = m["n_corpus_total"]
+            if args.discovery:
+                out["n_robots_queued"] = m.get("n_robots_queued", 0)
+            print(json.dumps(out))
+        if args.export_corpus:
+            stats = eng.export_corpus(
+                args.export_corpus,
+                n_shards=args.export_shards,
+                seq_len=args.export_seq_len,
+            ).collect()
+            print(json.dumps({
+                "event": "export",
+                "path": args.export_corpus,
+                "n_shards": len(stats),
+                "n_docs": sum(s["n_docs"] for s in stats),
+                "n_tokens": sum(s["n_tokens"] for s in stats),
             }))
         return 0
 
