@@ -407,3 +407,59 @@ def test_sidecar_claim_with_live_layers_shuffles_only_winners(spark, tmp_path):
     assert sorted(map(tuple, a2.collect())) == sorted(
         map(tuple, b2.select(*a2.columns).collect())
     )
+
+
+def test_curate_probe_path_never_shuffles_corpus(spark, tmp_path):
+    """r07 scale posture: the filter-first cross-round dedup scans the
+    corpus but never SHUFFLES it — every join in the probe path is an
+    explicit-broadcast BroadcastHashJoin (corpus-bucket point-read
+    semi-joined against the broadcast probe-positives; docs anti-joined
+    against the broadcast confirmed dups). The exchanges that remain
+    are O(round docs): the dedup window and the probe cogroup. A
+    SortMergeJoin or a hash-partition exchange fed by the corpus scan
+    appearing here would mean an O(corpus) shuffle snuck back in."""
+    import datetime as dt
+
+    from crawlingathome_server_spark.plans.rounds import CrawlEngine
+    from crawlingathome_server_spark.sources.checkpoint import CheckpointStore
+
+    ts = dt.datetime(2021, 1, 1)
+    html = (
+        "<html><body><p>"
+        + "the quick brown fox jumps over the lazy dog and that is fine " * 4
+        + "</p></body></html>"
+    )
+    store = CheckpointStore(str(tmp_path / "probeplan"), n_partitions=4)
+    eng = CrawlEngine(
+        spark, store, seed=3, default_budget=1 << 20,
+        curate=True, curate_min_chars=50,
+        curate_filter_min_corpus=0,  # probe path from round 2 onward
+    )
+    eng.bootstrap()
+    pages1 = spark.createDataFrame(
+        [("http://a.example.com/one", ts, html)],
+        schema="url string, warc_ts timestamp, html string",
+    )
+    eng.run_round(pages1, round_epoch=1)
+
+    counters = store.read_manifest(store.latest_snapshot_id())["counters"]
+    flt = store.read(spark, CrawlEngine.CORPUS_FILTER)
+    pages2 = spark.createDataFrame(
+        [("http://a.example.com/two", ts, html.replace("fox", "elk"))],
+        schema="url string, warc_ts timestamp, html string",
+    )
+    docs, handles = eng._curate_pages(
+        pages2, 2,
+        store.read_manifest(store.latest_snapshot_id())["tables"],
+        corpus_filter=(flt, counters["corpus_params"]),
+    )
+    try:
+        p = plan_of(docs)
+    finally:
+        for h in handles:
+            h.unpersist()
+    assert "SortMergeJoin" not in p, p
+    # both corpus-touching joins are pinned broadcasts
+    assert p.count("BroadcastHashJoin") >= 2, p
+    # LeftAnti (docs vs dup fps) and LeftSemi (corpus read vs positives)
+    assert "LeftAnti" in p and "LeftSemi" in p, p
