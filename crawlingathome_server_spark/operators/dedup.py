@@ -648,3 +648,74 @@ def ngram_jaccard_pairs(
         .otherwise(F.lit(1.0))
         .alias("ngram_jaccard"),
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    *,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """C4-style cross-corpus line deduplication (Raffel et al. 2020 §2.2
+    removed any three-sentence span occurring more than once; the
+    line-granular variant here is what CCNet/web pipelines run): drop
+    every line that appears in at least ``min_docs`` DISTINCT documents
+    — headers, footers, cookie banners, nav boilerplate — and return
+    ``(id, text, n_lines_kept, n_lines_dropped)`` with each doc's
+    surviving lines rejoined in original order.
+
+    Scale shape (no reference analogue — the reference server never
+    touches document text): one explode to (doc, pos, line-hash), one
+    count-distinct aggregate on the 8-byte line hash (map-side partial,
+    never the line strings), a broadcast-less equi-join back on the
+    hash, and one groupBy(doc) reassembly that sorts each doc's
+    surviving lines by position map-side. Shuffled bytes are O(total
+    lines × ~24 B) for the counting pass — the text itself is shuffled
+    once, in the reassembly, as (doc, pos, line) rows. Whitespace-only
+    lines pass through untouched (they carry no signal and keeping them
+    preserves byte-faithful reassembly of blank separations).
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2: {min_docs}")
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn(
+        "__sig",
+        F.when(
+            F.length(F.trim("line")) >= min_line_chars, F.xxhash64("line")
+        ),  # NULL sig = exempt (blank / too short): never counted or dropped
+    )
+    hot = (
+        lines.filter(F.col("__sig").isNotNull())
+        .groupBy("__sig")
+        .agg(F.count_distinct(F.col(id_col)).alias("__n_docs"))
+        .filter(F.col("__n_docs") >= min_docs)
+        .select("__sig")
+    )
+    flagged = lines.join(hot, on="__sig", how="left_anti")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_lines_kept"),
+        )
+        .join(
+            lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_total")),
+            on=id_col,
+        )
+        .withColumn(
+            "n_lines_dropped", F.col("__n_total") - F.col("n_lines_kept")
+        )
+        .drop("__n_total")
+    )

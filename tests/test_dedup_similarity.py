@@ -360,3 +360,45 @@ def test_minhash_mega_bucket_is_capped(spark):
     assert 0 < len(got) <= 16 * cap * (cap - 1) // 2
     members = {r["a"] for r in got} | {r["b"] for r in got}
     assert members <= set(range(cap)) | set(range(1000, 1050))
+
+
+def test_line_dedup_drops_boilerplate_keeps_order(spark):
+    """C4-style cross-corpus line dedup: a line appearing in >= min_docs
+    DISTINCT docs is dropped everywhere; rare lines survive in original
+    order; blank lines are exempt (byte-faithful reassembly); a repeat
+    WITHIN one doc doesn't count as cross-doc."""
+    from crawlingathome_server_spark.operators.dedup import line_dedup
+
+    boiler = "accept all cookies to continue"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler}\nalpha one\n\nbeta two"),
+            (2, f"gamma three\n{boiler}\ndelta four"),
+            (3, f"{boiler}\nepsilon five"),
+            # repeated line within ONE doc only: stays (1 distinct doc)
+            (4, "zeta six\nzeta six\neta seven"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, min_docs=3).collect()}
+    assert out[1]["text"] == "alpha one\n\nbeta two"
+    assert out[1]["n_lines_dropped"] == 1 and out[1]["n_lines_kept"] == 3
+    assert out[2]["text"] == "gamma three\ndelta four"
+    assert out[3]["text"] == "epsilon five"
+    assert out[4]["text"] == "zeta six\nzeta six\neta seven"
+    assert out[4]["n_lines_dropped"] == 0
+
+    # partitioning invariance (the reassembly sort is per-doc)
+    again = {
+        r["doc_id"]: r["text"]
+        for r in line_dedup(docs.repartition(7), min_docs=3).collect()
+    }
+    assert again == {k: v["text"] for k, v in out.items()}
+
+    # min_docs=2 also kills a two-doc line; validation rejects < 2
+    out2 = {r["doc_id"]: r["text"] for r in line_dedup(docs, min_docs=2).collect()}
+    assert out2[3] == "epsilon five"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        line_dedup(docs, min_docs=1)
