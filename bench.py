@@ -497,6 +497,37 @@ def run_bench(spark, sf_dir: str) -> dict:
         )
     )
 
+    # C4-style cross-corpus line dedup at volume (r07): 400k synthetic
+    # docs x 8 lines, 25% of lines drawn from a 1k-line boilerplate pool
+    # (appears in ~100 docs each -> dropped), the rest unique. Exercises
+    # the full explode -> count-distinct -> anti-join -> ordered
+    # reassembly pipeline.
+    from crawlingathome_server_spark.operators.dedup import line_dedup
+
+    docs_ld = spark.range(400_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            "\n",
+            *[
+                F.when(
+                    F.pmod(F.xxhash64("id", F.lit(j)), F.lit(4)) == 0,
+                    F.concat(
+                        F.lit("boilerplate line "),
+                        F.pmod(F.xxhash64("id", F.lit(j + 100)), F.lit(1_000)),
+                    ),
+                ).otherwise(
+                    F.concat(
+                        F.lit("unique content "), F.col("id"), F.lit(" seg "), F.lit(j)
+                    )
+                )
+                for j in range(8)
+            ],
+        ).alias("text"),
+    )
+    timings["line_dedup_400k"] = best_of(
+        lambda: _materialize(line_dedup(docs_ld, min_docs=3))
+    )
+
     # one full crawl round THROUGH the checkpoint store at volume (VERDICT
     # r2 item #5): 2M pages in, bloom probe against the prior round's
     # persisted filter, politeness claim, seen-set delta-commit + filter
