@@ -35,6 +35,14 @@ from pyspark.sql import functions as F
 
 from ..functions.urls import oracle_hash, seeded_hash64
 
+#: literal budgets at or above this are treated as UNBOUNDED: the per-host
+#: rank `row_number() <= budget` keeps every row of any host smaller than
+#: 2^30 — i.e. every row, at any plausible per-round scale — so the rank
+#: window (a full sort-shuffle of the candidate set) and the winner→payload
+#: join-back compute nothing. r08 (guide §1.2/§2.4): skip both outright;
+#: output rows/columns are identical (pytest-asserted vs the ranked path).
+UNBOUNDED_BUDGET = 1 << 30
+
 
 def open_jobs(frontier: DataFrame, stage: str = "cpu") -> Column:
     """Boolean filter for claimable jobs (reference: main.py:386,607-609).
@@ -117,6 +125,28 @@ def claim_batch(
     embarrassingly parallel scan.
     """
     cand = frontier.filter(open_jobs(frontier, stage))
+
+    if (
+        robots is None
+        and budget_col is None
+        and default_budget >= UNBOUNDED_BUDGET
+    ):
+        # Unbounded literal budget (the crawl engine's "claim everything
+        # polite" sentinel): `rn <= budget` is true for every row, so the
+        # rank adds nothing — emit order_key/budget as plain projections.
+        # This removes the candidate set's sort-shuffle AND (with payload)
+        # the O(winners) broadcast join-back, which at an unbounded budget
+        # re-attached EVERY candidate: two shuffles' worth of work whose
+        # output equals its input (r08; equality pytest-asserted).
+        out = cand.withColumn(
+            "order_key", order_key(seed, use_oracle_hash)
+        ).withColumn("budget", F.lit(default_budget))
+        if not with_payload:
+            return out.select("number", "priority", "order_key", "budget")
+        return out.select(
+            *[c for c in frontier.columns], "order_key", "budget"
+        )
+
     winners = _ranked_narrow(
         cand,
         robots,

@@ -260,3 +260,50 @@ def test_claim_budget_col_equals_robots_join(spark):
     assert sorted(map(tuple, ap.collect())) == sorted(
         map(tuple, bp.select(*ap.columns).collect())
     )
+
+
+def test_unbounded_budget_equals_ranked_path(spark):
+    """r08: a literal budget >= UNBOUNDED_BUDGET skips the rank window and
+    the payload join-back — rows AND columns must equal the ranked path's
+    (forced here by ranking with the same budget value via budget_col,
+    which cannot take the unbounded shortcut)."""
+    fr = _frontier(spark, 800)
+    big = claim.UNBOUNDED_BUDGET
+    fast = claim.claim_batch(fr, None, seed=9, default_budget=big)
+    ranked = claim.claim_batch(
+        fr.withColumn("__b", F.lit(big)),
+        None,
+        seed=9,
+        default_budget=big,
+        budget_col="__b",
+    )
+    assert fast.columns == ranked.columns
+    a = sorted(map(tuple, fast.collect()))
+    b = sorted(map(tuple, ranked.collect()))
+    assert a == b and len(a) > 0
+    # decision-set variant (with_payload=False) must agree too
+    fast_n = claim.claim_batch(
+        fr, None, seed=9, default_budget=big, with_payload=False
+    )
+    ranked_n = claim.claim_batch(
+        fr.withColumn("__b", F.lit(big)),
+        None,
+        seed=9,
+        default_budget=big,
+        budget_col="__b",
+        with_payload=False,
+    )
+    assert fast_n.columns == ranked_n.columns
+    assert sorted(map(tuple, fast_n.collect())) == sorted(
+        map(tuple, ranked_n.collect())
+    )
+    # and the fast path's plan really has no Window (over an input whose
+    # own plan is window-free — _frontier's dedup_by_number has one)
+    fr_expr = datagen.synth_frontier_expr(spark, 1000)
+    plan = (
+        claim.claim_batch(fr_expr, None, seed=9, default_budget=big)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, plan
