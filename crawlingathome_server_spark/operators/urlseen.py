@@ -133,6 +133,62 @@ def merge_seen_filters(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.unionByName(b).groupBy("bucket").applyInPandas(_or, _BITMAP_SCHEMA)
 
 
+def insert_into_bloom(
+    seen_filter: DataFrame,
+    new_hashed: DataFrame,
+    *,
+    n_buckets: int = 64,
+    bits_per_bucket: int = 1 << 17,
+    k: int = 5,
+    hash_col: str = "url_hash",
+) -> DataFrame:
+    """Touched-bucket bloom insert in ONE cogroup pass (r08).
+
+    Bit-identical to the two-pass composition ``merge_seen_filters(
+    parent buckets touched by the batch, build_seen_filter(batch))``
+    (pytest-asserted), which paid two shuffles and two grouped-pandas
+    passes per crawl round — one to build the delta filter, one to OR it
+    into the parent's touched buckets. Here the new urls shuffle to
+    their bucket once and meet the parent bitmap in a single cogroup:
+    set the k bit positions straight into a copy of the parent bytes
+    (zeros when the bucket had no row yet). Returns ONLY buckets that
+    received >= 1 new url — the Append delta-commit shape, like
+    :func:`insert_into_cuckoo` with ``touched_only=True``."""
+    m_bits, kk = bits_per_bucket, k
+
+    def _ins(new_pdf: pd.DataFrame, filt_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(new_pdf) == 0:
+            # parent-only bucket: untouched, not part of the delta
+            return pd.DataFrame(columns=["bucket", "bitmap", "n_items"])
+        if len(filt_pdf):
+            bits = np.frombuffer(filt_pdf["bitmap"].iloc[0], dtype=np.uint8).copy()
+            n_items = int(filt_pdf["n_items"].iloc[0])
+        else:
+            bits = np.zeros(m_bits // 8, dtype=np.uint8)
+            n_items = 0
+        pos = _positions(new_pdf[hash_col].to_numpy(), m_bits, kk)
+        byte_idx, bit_idx = pos >> 3, pos & 7
+        np.bitwise_or.at(
+            bits, byte_idx.ravel(), (1 << bit_idx.ravel()).astype(np.uint8)
+        )
+        return pd.DataFrame(
+            {
+                "bucket": [int(new_pdf["bucket"].iloc[0])],
+                "bitmap": [bits.tobytes()],
+                "n_items": [n_items + len(new_pdf)],
+            }
+        )
+
+    with_bucket = new_hashed.withColumn(
+        "bucket", F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int")
+    )
+    return (
+        with_bucket.groupBy("bucket")
+        .cogroup(seen_filter.groupBy("bucket"))
+        .applyInPandas(lambda lk, rk: _ins(lk, rk), _BITMAP_SCHEMA)
+    )
+
+
 FILTER_TABLE = "urlseen_filter"
 
 

@@ -534,8 +534,8 @@ class CrawlEngine:
         ``expired_keys`` is only ever non-None for kinds that delete
         in place (cuckoo); a bloom expiry forces a rebuild upstream."""
         hashed = urlseen.hash_urls(new_urls, url_col=key_col)
-        ids = urlseen.touched_buckets(hashed, n_buckets=params["n_buckets"])
         if params.get("kind") == "cuckoo":
+            ids = urlseen.touched_buckets(hashed, n_buckets=params["n_buckets"])
             changed = urlseen.insert_into_cuckoo(
                 flt,
                 hashed,
@@ -556,14 +556,17 @@ class CrawlEngine:
                     flt.join(F.broadcast(del_only), on="bucket", how="left_semi")
                 )
             return changed
-        delta = urlseen.build_seen_filter(
+        # bloom: ONE cogroup sets the batch's bits straight into the
+        # parent's touched bitmaps (r08) — replaces the build-delta +
+        # OR-merge pair (two shuffles + two grouped-pandas passes per
+        # round); bit-identical composition, pytest-asserted
+        return urlseen.insert_into_bloom(
+            flt,
             hashed,
             n_buckets=params["n_buckets"],
             bits_per_bucket=params["bits_per_bucket"],
             k=params["k"],
         )
-        base = flt.join(F.broadcast(ids), on="bucket", how="left_semi")
-        return urlseen.merge_seen_filters(base, delta)
 
     def _probe_filter(
         self, hashed: DataFrame, flt: DataFrame, params: dict
@@ -1146,9 +1149,24 @@ class CrawlEngine:
             # rewrites ONLY touched buckets by reading their parent dirs —
             # round commit cost is O(claims + expirations + touched
             # buckets), independent of total crawl size.
-            from ..sources.checkpoint import UNCHANGED, Append
+            from ..sources.checkpoint import UNCHANGED, Append, Patch
 
-            deltas: dict = {"seen_urls": Append(new_seen, remove_keys=expired_keys)}
+            # seen_urls as a merge-on-read UPSERT layer (r08): the Append
+            # form re-read and rewrote every touched bucket, and a round's
+            # uniformly-hashed claims touch ALL buckets — an O(seen-set)
+            # rewrite per round (~2-3 s at the 4M-row bench, the whole
+            # table's bytes at 10^10). The layer writes O(claims) rows;
+            # claimed ∩ seen = ∅ (the probe has no false negatives) and
+            # expired ⊆ seen, so rows_delta is exact and the chain folds
+            # at the store's layers bound (amortized O(1) per round).
+            deltas: dict = {
+                "seen_urls": Patch(
+                    new_seen,
+                    remove_keys=expired_keys,
+                    upsert=True,
+                    rows_delta=n_claimed - n_expired,
+                )
+            }
             if params is None or total > capacity:
                 # (re)build at 2× headroom from the EXACT set — the filter
                 # is an accelerator, the parquet seen_urls table is the

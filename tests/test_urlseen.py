@@ -274,3 +274,31 @@ def test_auto_cuckoo_params_bucket_size_posture():
         assert p["n_rows"] * urlseen._CUCKOO_SLOTS_PER_ROW * 0.8 >= per, (n_items, p)
     assert urlseen.auto_cuckoo_params(100_000_000)["n_buckets"] > 64
     assert urlseen.auto_cuckoo_params(10_000_000_000)["n_buckets"] >= 10_000
+
+
+def test_insert_into_bloom_equals_build_plus_merge(spark):
+    """r08: the one-cogroup bloom insert is bit-identical to the old
+    build-delta + OR-merge composition, including buckets with no parent
+    row and parent-only (untouched) buckets, which it must omit."""
+    base_urls = spark.range(0, 3000).select(
+        F.concat(F.lit("http://a/"), F.col("id")).alias("canon_url")
+    )
+    # new urls confined to a hash subset so SOME buckets stay untouched
+    new_urls = spark.range(5000, 5400).select(
+        F.concat(F.lit("http://b/"), F.col("id")).alias("canon_url")
+    ).filter(F.pmod(F.xxhash64(F.concat(F.lit("http://b/"), F.col("id")), F.lit(0)), F.lit(64)) < 20)
+    kw = dict(n_buckets=64, bits_per_bucket=1 << 10, k=3)
+    flt = urlseen.build_seen_filter(urlseen.hash_urls(base_urls), **kw)
+    hashed = urlseen.hash_urls(new_urls)
+    got = {
+        r["bucket"]: (bytes(r["bitmap"]), r["n_items"])
+        for r in urlseen.insert_into_bloom(flt, hashed, **kw).collect()
+    }
+    ids = urlseen.touched_buckets(hashed, n_buckets=64)
+    base = flt.join(F.broadcast(ids), on="bucket", how="left_semi")
+    delta = urlseen.build_seen_filter(hashed, **kw)
+    want = {
+        r["bucket"]: (bytes(r["bitmap"]), r["n_items"])
+        for r in urlseen.merge_seen_filters(base, delta).collect()
+    }
+    assert got == want and 0 < len(got) < 64
