@@ -1609,7 +1609,7 @@ class RoundEngine:
             touched = touched.unionByName(completions.select("number"))
         touched = touched.dropDuplicates(["number"])
 
-        sub_before = sub_after = None
+        sub_before = sub_after = rewrite_cached = None
         if frontier_commit in ("patch", "append"):
             # Point-read the touched buckets, restrict to the touched
             # keys, and re-apply the SAME per-key transition chain — the
@@ -1639,11 +1639,26 @@ class RoundEngine:
                 if frontier_commit == "patch"
                 else None
             )
+            # claims-only rounds (no completions/heartbeats/reaping — the
+            # steady scheduling regime) change exactly n_claims rows from
+            # open(stage) to pending, so the stats delta is arithmetic:
+            # no before/after scan jobs at all (r08). Any other round
+            # keeps the generic scanned delta.
+            claims_only = (
+                completions is None and heartbeats is None and n_reaped == 0
+            )
+            arithmetic_stats = claims_only and all(
+                k in parent_counters for k in self._STATS_COUNT_KEYS
+            )
             sub_before = (
                 self.store.read_buckets(spark, "frontier", touched, columns=narrow)
                 .join(F.broadcast(touched), on="number", how="left_semi")
-                .cache()
             )
+            if not arithmetic_stats:
+                # generic path: sub_before feeds both the stats scan and
+                # sub_after — cache it; arithmetic rounds have a single
+                # consumer chain, so caching would only add a store pass
+                sub_before = sub_before.cache()
             sub_after = sub_before
             if completions is not None:
                 sub_after = tr.complete_jobs(sub_after, completions)
@@ -1666,9 +1681,14 @@ class RoundEngine:
                 )
             elif not frontier_layers:
                 deltas["frontier"] = Append(sub_after, remove_keys=Append.SAME)
-            stats_row = self._incremental_stats(
-                parent_counters, sub_before, sub_after, frontier
-            )
+            if arithmetic_stats:
+                stats_row = self._claims_only_stats(
+                    parent_counters, n_claims, stage
+                )
+            else:
+                stats_row = self._incremental_stats(
+                    parent_counters, sub_before, sub_after, frontier
+                )
         else:
             # key-delta rewrite of changed buckets — unless live layers
             # force a full rewrite (which also clears them)
@@ -1677,6 +1697,12 @@ class RoundEngine:
                 if parent_manifest["tables"]["frontier"].get("delta_layers")
                 else {"frontier": touched}
             )
+            # NOTE (r08): caching the post-transition frontier here (so
+            # the stats scan + frontier write + sidecar write share one
+            # materialization) was tried and measured 3-4x SLOWER at 16M
+            # rows: building the in-memory columnar cache of wide string
+            # rows costs far more than the recompute it saves (a parquet
+            # scan + small broadcast joins) — guide §5's caching caveat.
             stats_row = agg.frontier_stats(frontier).collect()[0].asDict()
         tables = {
             "frontier": frontier,
@@ -1747,7 +1773,7 @@ class RoundEngine:
         )
         claims.unpersist()
         workers.unpersist()
-        for cached in (sub_before, sub_after):
+        for cached in (sub_before, sub_after, rewrite_cached):
             if cached is not None:
                 cached.unpersist()
         if completions is not None:
@@ -1761,6 +1787,24 @@ class RoundEngine:
         "open_gpu_jobs",
         "pending_jobs",
     )
+
+    def _claims_only_stats(
+        self, parent_counters: dict, n_claims: int, stage: str
+    ) -> dict:
+        """Stats delta of a claims-only round, arithmetically (r08): the
+        round's only transition is apply_claims, which flips exactly the
+        n_claims claimed rows — all open in ``stage``'s gpu class by the
+        open_jobs filter — to pending. Exact; no scan jobs. Rounds with
+        completions/heartbeats/reaping use :meth:`_incremental_stats`."""
+        out = {k: parent_counters[k] for k in self._STATS_COUNT_KEYS}
+        out["open_gpu_jobs" if stage == "gpu" else "open_cpu_jobs"] -= n_claims
+        out["pending_jobs"] += n_claims
+        out["completion_pct"] = (
+            out["completed_jobs"] * 100.0 / out["total_jobs"]
+            if out["total_jobs"] > 0
+            else 100.0
+        )
+        return out
 
     def _incremental_stats(
         self,
