@@ -134,32 +134,99 @@ def minhash_signatures_expr(
 ) -> DataFrame:
     """MinHash signatures computed fully JVM-side: shingles via
     higher-order array functions, one hash per shingle, one
-    ``array_min(transform(...))`` per hash function — whole-stage
-    codegen, no Arrow transfer. ``hash_mode='md5'`` makes the signature
-    bit-reproducible in ANSI SQL (oracles.minhash_lsh_sql)."""
+    ``array_min(transform(...))`` per hash function — no Arrow transfer.
+    ``hash_mode='md5'`` makes the signature bit-reproducible in ANSI SQL
+    (oracles.minhash_lsh_sql).
+
+    r08 formulation history (all bit-identical; measured at sf0.1):
+    the r05 "single-pass fold" (aggregate over shingles, zip_with across
+    the 64-entry accumulator per shingle) allocated a fresh 64-array per
+    shingle per doc inside interpreted higher-order lambdas — 5.5 s.
+    Staging the shingle-hash array below a one-row Generate (so
+    CollapseProject cannot inline it into each of the 64 references —
+    the jaccard_verify_expr trick) and taking 64 plain
+    ``array_min(transform(...))`` passes over the MATERIALIZED array is
+    1.7 s. The hybrid (:func:`minhash_signatures_hybrid`, the
+    minhash_dedup default) moves only the (shingles × n_hashes) affine
+    arithmetic to one numpy matmul-shaped pass — 0.6 s."""
     a, b = _perm_params(n_hashes, seed)
-    # Single-pass fold: ONE base hash per shingle, then all n_hashes
-    # affine mins updated together via a nested zip_with over the
-    # accumulator array. (The naive "64 × array_min(transform(sh, ...))"
-    # formulation recomputes the base-hash array per hash function after
-    # CollapseProject inlines it — measured 3× slower end-to-end.)
-    ab = F.array(
+    hs = shingle_hashes_expr(text_col, shingle_k, hash_mode)
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    hs.alias("hs"), F.col(text_col).isNull().alias("tnull")
+                )
+            )
+        ).alias("__s"),
+    )
+    sig = F.array(
         *[
-            F.struct(
-                F.lit(int(a[i])).cast("long").alias("a"),
-                F.lit(int(b[i])).cast("long").alias("b"),
+            F.array_min(
+                F.transform(
+                    F.col("__s.hs"),
+                    lambda x: (x * F.lit(int(a[i])) + F.lit(int(b[i])))
+                    % F.lit(_MERSENNE),
+                )
             )
             for i in range(n_hashes)
         ]
     )
-    init = F.array(*[F.lit(_MERSENNE).cast("long")] * n_hashes)
-    sig = F.aggregate(
-        shingle_hashes_expr(text_col, shingle_k, hash_mode),
-        init,
-        lambda acc, x: F.zip_with(
-            ab, acc, lambda p, m: F.least(m, (x * p["a"] + p["b"]) % F.lit(_MERSENNE))
-        ),
-    )
+    # null text → null signature (defined r08 semantics, shared with the
+    # hybrid path; the r05 fold emitted the init array for null text —
+    # an internal intermediate no pipeline outcome depended on, since
+    # null-text docs band together and verify at jaccard 1.0 either way)
+    sig = F.when(F.col("__s.tnull"), F.lit(None).cast("array<long>")).otherwise(sig)
+    return staged.select("doc_id", sig.alias("signature"))
+
+
+def minhash_signatures_hybrid(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    shingle_k: int = 3,
+    seed: int = 7,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """MinHash signatures with JVM shingle hashing + ONE vectorized numpy
+    pass for the affine mins (guide §4.2: batch arithmetic belongs in
+    native code, not interpreted expression lambdas). The shingle-hash
+    arrays (the only input-size-dependent text work: regex split + md5/
+    xxhash64 per shingle) stay whole-stage-codegen JVM; what crosses
+    Arrow is ~8 bytes per shingle, and the (shingles × n_hashes) affine
+    minimum is one ``(sh[:,None]*a + b) % p .min(0)`` per doc —
+    bit-identical to :func:`minhash_signatures_expr` (exact int64
+    arithmetic both sides: sh, a < 2^31 keeps products < 2^62;
+    equality pytest-asserted, and the md5 family is driver-verified
+    through the dedup_minhash_lsh oracle). ~10x the r05 fold, ~3x the
+    staged expression form at sf0.1."""
+    a, b = _perm_params(n_hashes, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _affmin(hs: pd.Series) -> pd.Series:
+        out = []
+        for arr in hs:
+            # null text reaches here as a null array or a [null] element
+            # (md5/xxhash of the null join) → null signature, matching
+            # minhash_signatures_expr's defined r08 semantics
+            if arr is None or pd.isna(arr).any():
+                out.append(None)
+                continue
+            sh = np.asarray(arr, dtype=np.int64)
+            vals = (sh[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+            out.append(vals.min(axis=0).tolist())
+        return pd.Series(out)
+
+    hs = shingle_hashes_expr(text_col, shingle_k, hash_mode)
+    # gate on the TEXT column, not the hash array: xxhash64 of a null
+    # string is the seed hash (non-null), so the array alone cannot
+    # signal null text in that mode
+    sig = F.when(
+        F.col(text_col).isNull(), F.lit(None).cast("array<long>")
+    ).otherwise(_affmin(hs))
     return docs.select(F.col(id_col).alias("doc_id"), sig.alias("signature"))
 
 
@@ -388,7 +455,11 @@ def minhash_dedup(
             shingle_k=shingle_k, threshold=threshold,
         )
     hash_mode = "md5" if mode == "md5" else "xxhash64"
-    sigs = minhash_signatures_expr(
+    # hybrid signatures (r08): JVM shingle hashing + one numpy pass for
+    # the affine mins — bit-identical to the pure-expression form
+    # (pytest + driver oracle) at ~10x the r05 fold's speed; see
+    # minhash_signatures_hybrid
+    sigs = minhash_signatures_hybrid(
         docs, text_col=text_col, id_col=id_col, n_hashes=n_hashes,
         shingle_k=shingle_k, seed=seed, hash_mode=hash_mode,
     )

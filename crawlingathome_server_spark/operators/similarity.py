@@ -202,18 +202,26 @@ def lsh_topk(
     variant) and Python-free."""
     from ..util import spread
 
-    embeddings = spread(embeddings)
     sig_fn = lsh_signatures_pm1 if sig_mode == "pm1" else lsh_signatures
+    # spread ONLY the signature input (the per-vector compute that needs
+    # the parallelism); the re-score side `e` below is joined/broadcast,
+    # so spreading it too just added a second repartition exchange of
+    # the same table (r08)
     cand_sig = sig_fn(
-        embeddings, dim=dim, n_planes=n_planes, n_bands=n_bands, seed=seed,
-        id_col=id_col, vec_col=vec_col,
+        spread(embeddings), dim=dim, n_planes=n_planes, n_bands=n_bands,
+        seed=seed, id_col=id_col, vec_col=vec_col,
     ).withColumnRenamed(id_col, "cand_id")
     probe_sig = sig_fn(
         probes, dim=dim, n_planes=n_planes, n_bands=n_bands, seed=seed,
         id_col=id_col, vec_col=vec_col,
     ).withColumnRenamed(id_col, "probe_id")
+    # probe_sig is (probes × n_bands) rows and the probe set is assumed
+    # small throughout this operator (p broadcasts below) — broadcast it
+    # so the candidate signatures stream through a map-side hash join
+    # instead of shuffling on (band, bucket) (r08)
     cand_pairs = (
-        probe_sig.join(cand_sig, on=["band", "bucket"])
+        F.broadcast(probe_sig)
+        .join(cand_sig, on=["band", "bucket"])
         .filter(F.col("cand_id") != F.col("probe_id"))
         .select("probe_id", "cand_id")
         .dropDuplicates(["probe_id", "cand_id"])
@@ -333,9 +341,10 @@ def ivf_topk(
     ``ivf_exact_agrees`` driver evidence)."""
     from ..util import spread
 
-    embeddings = spread(embeddings)
+    # spread ONLY the KMeans/assignment input (see lsh_topk note, r08);
+    # the candidate join below streams the raw table
     assigned, model = ivf_build(
-        embeddings,
+        spread(embeddings),
         n_lists=n_lists,
         seed=seed,
         id_col=id_col,
@@ -373,10 +382,19 @@ def ivf_topk(
     sim = cosine_expr(F.col("pv"), F.col("v"))
     if round_sim is not None:
         sim = F.round(sim, round_sim)
+    # probe_lists is (probes × nprobe) rows — broadcast it so the big
+    # candidate side streams through a hash join instead of the SMJ the
+    # planner picks for the stats-less model.transform output (r08).
+    # No dropDuplicates: each vector sits in exactly ONE inverted list
+    # (model.transform is functional in vec_id — ids are unique by the
+    # operator contract) and a probe's nprobe lists are distinct, so
+    # (probe_id, cand_id) pairs are unique by construction; the old
+    # dedup was a full extra exchange + sort-aggregate pair computing
+    # the identity (r08; pytest-asserted unchanged output).
     scored = (
-        probe_lists.join(cands, on="list_id")
+        F.broadcast(probe_lists)
+        .join(cands, on="list_id")
         .filter(F.col("cand_id") != F.col("probe_id"))
-        .dropDuplicates(["probe_id", "cand_id"])
         .select("probe_id", "cand_id", sim.alias("cosine_sim"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine_sim"), F.asc("cand_id"))

@@ -402,3 +402,30 @@ def test_line_dedup_drops_boilerplate_keeps_order(spark):
 
     with _pytest.raises(ValueError):
         line_dedup(docs, min_docs=1)
+
+
+def test_minhash_signature_formulations_bit_identical(spark):
+    """r08: the staged-expression and hybrid (numpy affine-min) signature
+    paths must agree value-for-value, null text included."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="one two"),
+            Row(doc_id=3, text=None),
+            Row(doc_id=4, text=""),
+            Row(doc_id=5, text="a b c d e f g h i j k l m n o p q r s t u v w"),
+        ]
+    )
+    for hash_mode in ("md5", "xxhash64"):
+        a = {
+            r["doc_id"]: r["signature"]
+            for r in dedup.minhash_signatures_expr(docs, hash_mode=hash_mode).collect()
+        }
+        b = {
+            r["doc_id"]: r["signature"]
+            for r in dedup.minhash_signatures_hybrid(docs, hash_mode=hash_mode).collect()
+        }
+        assert a == b, hash_mode
+        assert a[3] is None
