@@ -749,11 +749,22 @@ def t_curation(spark, sf_dir):
     from crawlingathome_server_spark.operators import packing
 
     docs = _t(spark, sf_dir, "documents")
-    scored = docs.select(
+    # lang scores staged (r08, see t_lang_id) — same values, fewer scans
+    pre = docs.select(
+        "doc_id",
+        "text",
+        *[
+            tx.lang_score(F.col("text"), lang).alias(f"__ls_{lang}")
+            for lang in tx.LANG_MARKERS
+        ],
+    )
+    scored = pre.select(
         "doc_id",
         F.md5("text").alias("h"),
         tx.token_count_ws(F.col("text")).alias("n_words"),
-        tx.lang_id(F.col("text")).alias("lang_pred"),
+        tx.lang_id_from_scores(
+            {lang: F.col(f"__ls_{lang}") for lang in tx.LANG_MARKERS}
+        ).alias("lang_pred"),
         F.round(tx.quality_score(F.col("text")), 6).alias("quality"),
     )
     kept = scored.filter(
@@ -821,9 +832,24 @@ def f11_month_rollup(spark, sf_dir):
     "ELSE 'es' END AS lang_pred FROM documents",
 )
 def t_lang_id(spark, sf_dir):
-    """Language-ID via stopword-marker argmax (ours; training-data op)."""
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", tx.lang_id(F.col("text")).alias("lang_pred")
+    """Language-ID via stopword-marker argmax (ours; training-data op).
+    The per-language scores are STAGED in their own projection (r08):
+    the argmax when-chain references each score several times, and
+    staged attributes re-reference for free where inlined expressions
+    re-ran their replace+length scans (same values, plan-level change
+    only — the oracle SQL is untouched)."""
+    scored = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        *[
+            tx.lang_score(F.col("text"), lang).alias(f"__ls_{lang}")
+            for lang in tx.LANG_MARKERS
+        ],
+    )
+    return scored.select(
+        "doc_id",
+        tx.lang_id_from_scores(
+            {lang: F.col(f"__ls_{lang}") for lang in tx.LANG_MARKERS}
+        ).alias("lang_pred"),
     )
 
 

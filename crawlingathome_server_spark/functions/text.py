@@ -215,13 +215,14 @@ def lang_score_sql(text_expr: str, lang: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def lang_id(text: Column) -> Column:
-    """argmax over language scores; 'nolang' when all zero.
-
-    Pure built-in expressions → whole-stage codegen, and expressible in
-    ANSI SQL for the DuckDB oracle.
-    """
-    scores = {lang: lang_score(text, lang) for lang in LANG_MARKERS}
+def lang_id_from_scores(scores: dict[str, Column]) -> Column:
+    """The argmax/tie-break half of :func:`lang_id` over already-computed
+    per-language score columns. Split out (r08) so call sites can STAGE
+    the scores in their own projection: the when-chain references each
+    score up to 4 times (plus the running ``greatest``), and staged
+    score ATTRIBUTES cost nothing to re-reference, while inlined score
+    expressions re-run their 5 replace+length scans per reference —
+    measured 0.68 → 0.42 s over sf0.1 documents, value-identical."""
     best = None
     for col in scores.values():
         best = col if best is None else F.greatest(best, col)
@@ -230,6 +231,19 @@ def lang_id(text: Column) -> Column:
     for lang in reversed(list(LANG_MARKERS)):
         out = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
     return out
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over language scores; 'nolang' when all zero.
+
+    Pure built-in expressions → whole-stage codegen, and expressible in
+    ANSI SQL for the DuckDB oracle. Hot paths should stage
+    :func:`lang_score` columns in a prior select and pass them to
+    :func:`lang_id_from_scores` (see its note).
+    """
+    return lang_id_from_scores(
+        {lang: lang_score(text, lang) for lang in LANG_MARKERS}
+    )
 
 
 # --- quality scoring ------------------------------------------------------

@@ -693,10 +693,22 @@ class CrawlEngine:
                 rep_cols.append(rep["dup_line_fraction"].alias("__dup_lines"))
             if self.curate_max_top_bigram is not None:
                 rep_cols.append(rep["top_bigram_share"].alias("__top_bigram"))
+        # lang scores staged in their own projection (r08): the argmax
+        # when-chain re-references each score several times; staged
+        # attributes make that free (see functions/text.lang_id_from_scores)
         docs = docs.select(
             "canon_url",
             "text",
-            tx.lang_id(F.col("text")).alias("lang"),
+            *[
+                tx.lang_score(F.col("text"), lang).alias(f"__ls_{lang}")
+                for lang in tx.LANG_MARKERS
+            ],
+        ).select(
+            "canon_url",
+            "text",
+            tx.lang_id_from_scores(
+                {lang: F.col(f"__ls_{lang}") for lang in tx.LANG_MARKERS}
+            ).alias("lang"),
             tx.quality_score(F.col("text")).alias("quality"),
             tx.token_count_ws(F.col("text")).alias("n_tokens"),
             fp.alias("fingerprint"),
@@ -1117,10 +1129,6 @@ class CrawlEngine:
                     **expand_kw,
                 )
             claimed = claimed.cache()
-            n_claimed = claimed.count()
-            if disc is not None:
-                self._discovery_finish(disc, claimed)
-
             n_curated = 0
             if self.curate:
                 curated, curate_caches = self._curate_pages(
@@ -1136,7 +1144,22 @@ class CrawlEngine:
                     ),
                 )
                 curated = curated.cache()
-                n_curated = curated.count()
+                # the claim pipeline (canon → dedup → seen probe → claim)
+                # and the curation pipeline (extract → gates → dedup) are
+                # independent jobs over the same input; materialize them
+                # CONCURRENTLY so the curation stages back-fill the claim
+                # job's straggler tail (guide §2.6) instead of running
+                # strictly after it (r08)
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as ex:
+                    f_claimed = ex.submit(claimed.count)
+                    f_curated = ex.submit(curated.count)
+                    n_claimed, n_curated = f_claimed.result(), f_curated.result()
+            else:
+                n_claimed = claimed.count()
+            if disc is not None:
+                self._discovery_finish(disc, claimed)
             new_seen = claimed.select(
                 "canon_url", F.lit(round_epoch).cast("long").alias("seen_epoch")
             )
@@ -1197,7 +1220,18 @@ class CrawlEngine:
                     curated
                 )
                 if self.CORPUS in parent_manifest["tables"]:
-                    deltas[self.CORPUS] = Append(curated)
+                    # merge-on-read upsert layer (r08, same move as
+                    # seen_urls): the Append form re-read + rewrote every
+                    # touched corpus bucket — O(corpus) once fingerprints
+                    # touch all buckets — while the layer writes O(new
+                    # docs). curated is disjoint from the corpus (the
+                    # round deduped against it) and unique per
+                    # fingerprint (window-deduped), so rows_delta is
+                    # exact; reads (corpus()/read_buckets confirm path)
+                    # reconstruct through layers, folding at the bound.
+                    deltas[self.CORPUS] = Patch(
+                        curated, upsert=True, rows_delta=n_curated
+                    )
                 # corpus-filter maintenance mirrors the url seen-filter:
                 # (re)build at 2× headroom from the exact corpus when
                 # missing/outgrown (the parquet table is the truth),
