@@ -172,9 +172,15 @@ def claim_batch(
     ]
     if not with_payload or not payload_cols:
         return winners
-    # a pre-attached budget_col returns as the canonical "budget" column
+    # a pre-attached budget_col returns as the canonical "budget" column.
+    # No broadcast hint (r08): winner-set size is data-dependent — at
+    # politeness-bounded scale it is tiny and AQE broadcasts it from the
+    # rank stage's RUNTIME size anyway, but under large/unbounded-ish
+    # column budgets (the discovery engine's crawl-delay-derived budgets
+    # over 2M candidates) the hint forced a million-row broadcast build;
+    # AQE then correctly picks a shuffle join instead.
     out_cols = [c for c in frontier.columns if c != budget_col]
-    return F.broadcast(winners).join(
+    return winners.join(
         cand.select("number", *payload_cols), on="number", how="inner"
     ).select(*out_cols, "order_key", "budget")
 

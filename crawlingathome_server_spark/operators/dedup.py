@@ -499,15 +499,59 @@ def simhash64(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def simhash64_hybrid(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash, xxhash64 family, with JVM word hashing + ONE
+    numpy pass for the bit votes (r08; guide §4.2 — the same move as
+    :func:`minhash_signatures_hybrid`): the JVM computes each doc's word
+    xxhash64 array (codegen), ~8 bytes/word cross Arrow, and the
+    (words × 64) ±1 vote matrix collapses in vectorized numpy.
+    Bit-identical to :func:`simhash64_expr` (pytest-asserted) without
+    its explode → 64-conditional-sum groupBy shuffle — the whole
+    operator becomes one narrow projection."""
+
+    @F.pandas_udf(T.LongType())
+    def _sig(hs: pd.Series) -> pd.Series:
+        out = np.zeros(len(hs), dtype=np.int64)
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        for i, arr in enumerate(hs):
+            if arr is None or len(arr) == 0:
+                continue
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            bits = (
+                (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)
+            ).astype(np.int64)
+            acc = (2 * bits - 1).sum(axis=0)
+            sig = (
+                weights[acc > 0].sum(dtype=np.uint64)
+                if (acc > 0).any()
+                else np.uint64(0)
+            )
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    hs = F.transform(words, lambda w: F.xxhash64(w))
+    # null-text docs drop out, matching simhash64_expr (whose explode
+    # emits no row for them)
+    return docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), _sig(hs).alias("simhash")
+    )
+
+
 def simhash64_expr(
     docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """64-bit SimHash computed entirely JVM-side — the at-scale path.
+    """64-bit SimHash computed entirely JVM-side.
 
     split → explode words → xxhash64 per word → per-doc sum of ±1 votes
     per bit position (64 conditional sums, map-side partial aggregation)
     → reassemble the signature. One narrow shuffle on doc_id; no Python,
-    no Arrow transfer. ~10× the pandas-UDF variant on local[32].
+    no Arrow transfer. ~10× the r01 pandas-UDF variant on local[32];
+    :func:`simhash64_hybrid` (the simhash_candidates default since r08)
+    computes the identical signature with no shuffle at all.
     """
     words = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -617,7 +661,9 @@ def simhash_candidates(
         sh = simhash_md5_expr(docs, text_col=text_col, id_col=id_col, n_bits=n_bits)
     elif use_expr:
         n_bits = 64
-        sh = simhash64_expr(docs, text_col=text_col, id_col=id_col)
+        # hybrid (r08): identical signatures to simhash64_expr with no
+        # explode/groupBy shuffle — see simhash64_hybrid
+        sh = simhash64_hybrid(docs, text_col=text_col, id_col=id_col)
     else:
         n_bits = 64
         sh = docs.select(
@@ -766,27 +812,41 @@ def line_dedup(
         .filter(F.col("__n_docs") >= min_docs)
         .select("__sig")
     )
-    flagged = lines.join(hot, on="__sig", how="left_anti")
+    # ONE reassembly pass (r08): instead of anti-joining dropped lines
+    # away and then re-exploding the corpus a second time just to count
+    # per-doc totals (plus a join to attach them), LEFT-join the hot-sig
+    # set as a per-line flag and fold everything in a single groupBy:
+    # kept lines reassemble, kept/dropped counts are conditional sums of
+    # the same rows. No broadcast hint — the hot set is usually tiny
+    # (AQE broadcasts it from runtime size) but is corpus-dependent and
+    # can be large for boilerplate-heavy crawls. Docs whose every line
+    # is hot drop from the output exactly as the anti-join form did.
+    flagged = lines.join(
+        hot.withColumn("__hot", F.lit(True)),
+        on="__sig",
+        how="left",
+    )
+    keep = F.col("__hot").isNull()
     return (
         flagged.groupBy(id_col)
         .agg(
             F.array_join(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct("pos", "line"))
+                        F.collect_list(
+                            F.when(keep, F.struct("pos", "line"))
+                        )
                     ),
                     lambda s: s["line"],
                 ),
                 "\n",
             ).alias(text_col),
-            F.count(F.lit(1)).alias("n_lines_kept"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias(
+                "n_lines_kept"
+            ),
+            F.sum(F.when(keep, 0).otherwise(1)).cast("long").alias(
+                "n_lines_dropped"
+            ),
         )
-        .join(
-            lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_total")),
-            on=id_col,
-        )
-        .withColumn(
-            "n_lines_dropped", F.col("__n_total") - F.col("n_lines_kept")
-        )
-        .drop("__n_total")
+        .filter(F.col("n_lines_kept") > 0)
     )

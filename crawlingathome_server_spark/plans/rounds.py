@@ -852,11 +852,25 @@ class CrawlEngine:
         new_dim = fetched_hosts = None
         new_sitemaps = fetched_sitemaps = seeds = None
 
+        dim_rows_delta = 0
         if robots_fetched is not None:
             robots_fetched = robots_fetched.dropDuplicates(["host"]).cache()
             caches.append(robots_fetched)
             n_robots_fetched = robots_fetched.count()
             fetched_hosts = robots_fetched.select("host")
+            # exact net dim growth for the upsert layer's row accounting
+            # (r08): a re-fetched host REPLACES its dim row, so inserts =
+            # fetched − already-present. One tiny semi-join count against
+            # the parent dim (zero when the dim is still empty).
+            n_replaced = (
+                fetched_hosts.join(
+                    dim.select("host"), on="host", how="left_semi"
+                ).count()
+                if parent_tables.get(self.ROBOTS_DIM, {}).get("total_rows")
+                or parent_tables.get(self.ROBOTS_DIM, {}).get("delta_layers")
+                else 0
+            )
+            dim_rows_delta = n_robots_fetched - n_replaced
             # a failed fetch (NULL body) parses to the allow-all default
             # row — the host leaves the queue either way. CACHE the
             # parsed rows: the dim plan feeds the rules join, the budget
@@ -947,7 +961,13 @@ class CrawlEngine:
         elif fetched_sitemaps is not None:
             squeue = squeue.join(fetched_sitemaps, on="sitemap_url", how="left_anti")
 
-        dim_rows_parent = parent_tables.get(self.ROBOTS_DIM, {}).get("total_rows", 0)
+        dim_meta = parent_tables.get(self.ROBOTS_DIM, {})
+        # a live upsert layer can leave total_rows inexact (r08) — any
+        # layer rows mean the dim has content even when the base total
+        # reads 0, so check both before deciding the dim is empty
+        dim_rows_parent = dim_meta.get("total_rows", 0) or sum(
+            ly.get("rows", 0) for ly in dim_meta.get("delta_layers") or []
+        )
         if dim_rows_parent or n_robots_fetched:
             # the round's working dim feeds the rules+budget claim join
             # AND the worklist anti-join — cache it for the round (the
@@ -967,6 +987,7 @@ class CrawlEngine:
             "fetched_hosts": fetched_hosts,
             "fetched_sitemaps": fetched_sitemaps,
             "first": self.ROBOTS_DIM not in parent_tables,
+            "dim_rows_delta": dim_rows_delta,
             "caches": caches,
             "counters": {
                 "n_robots_fetched": n_robots_fetched,
@@ -982,7 +1003,7 @@ class CrawlEngine:
         bounded). Mutates ``disc`` in place with the final table contents
         and O(delta) commit sentinels."""
         from ..functions import robots as rb
-        from ..sources.checkpoint import UNCHANGED, Append
+        from ..sources.checkpoint import UNCHANGED, Patch
 
         known = disc["dim"].select("host").unionByName(
             disc["rqueue"].select("host")
@@ -999,26 +1020,38 @@ class CrawlEngine:
         }
         deltas: dict = {}
         if not disc["first"]:
-            # O(delta) appends; a table nothing touched this round
-            # inherits the parent's buckets outright
+            # O(delta) merge-on-read upsert layers (r08; previously
+            # bucket-granular Appends): a round's uniformly-hashed new
+            # hosts touch most buckets, so the Append path re-read and
+            # rewrote nearly the whole dim/queue tables every discovery
+            # round (~6 jobs each); a layer writes only the delta rows +
+            # tombstones. Row totals ride inexact until the chain folds
+            # (rows_delta is unknowable here: a re-fetched host is a
+            # replacement, not an insert) — nothing consumes these
+            # totals beyond display, and folds restore exactness.
             if disc["new_dim"] is not None:
-                deltas[self.ROBOTS_DIM] = Append(
-                    disc["new_dim"], remove_keys=Append.SAME
+                deltas[self.ROBOTS_DIM] = Patch(
+                    disc["new_dim"],
+                    upsert=True,
+                    rows_delta=disc["dim_rows_delta"],
                 )
             else:
                 deltas[self.ROBOTS_DIM] = UNCHANGED
             if disc["counters"]["n_robots_queued"] or disc["fetched_hosts"] is not None:
-                deltas[self.ROBOTS_QUEUE] = Append(
-                    new_targets, remove_keys=disc["fetched_hosts"]
+                deltas[self.ROBOTS_QUEUE] = Patch(
+                    new_targets,
+                    remove_keys=disc["fetched_hosts"],
+                    upsert=True,
                 )
             else:
                 deltas[self.ROBOTS_QUEUE] = UNCHANGED
             if disc["new_sitemaps"] is not None or disc["fetched_sitemaps"] is not None:
-                deltas[self.SITEMAP_QUEUE] = Append(
+                deltas[self.SITEMAP_QUEUE] = Patch(
                     disc["new_sitemaps"]
                     if disc["new_sitemaps"] is not None
                     else disc["squeue"].limit(0),
                     remove_keys=disc["fetched_sitemaps"],
+                    upsert=True,
                 )
             else:
                 deltas[self.SITEMAP_QUEUE] = UNCHANGED

@@ -429,3 +429,17 @@ def test_minhash_signature_formulations_bit_identical(spark):
         }
         assert a == b, hash_mode
         assert a[3] is None
+
+
+def test_simhash_hybrid_equals_expr(spark):
+    """r08: the numpy-vote simhash signature must equal the JVM
+    explode+conditional-sum formulation doc-for-doc (null text drops)."""
+    from pyspark.sql import Row
+
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(
+        ["the quick brown fox", "", "a", None, "x y z " * 40, "one two one two"]
+    )]
+    docs = spark.createDataFrame(rows)
+    a = {r["doc_id"]: r["simhash"] for r in dedup.simhash64_expr(docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in dedup.simhash64_hybrid(docs).collect()}
+    assert a == b and 3 not in a
