@@ -584,6 +584,45 @@ def _block_ranges(n_bits: int, n_blocks: int) -> list[tuple[int, int]]:
     return out
 
 
+def simhash_md5_hybrid(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 56,
+) -> DataFrame:
+    """SQL-parity SimHash with JVM md5 word hashing + one numpy vote
+    pass (r08; the :func:`simhash64_hybrid` move applied to the md5
+    family): bit-identical to :func:`simhash_md5_expr` — whose
+    interpreted per-word zip_with folds dominated the dedup_simhash
+    driver row — including its null-text → null-signature row. Exact
+    int64 arithmetic only (md5_long < 2^60, n_bits ≤ 60)."""
+
+    @F.pandas_udf(T.LongType())
+    def _sig(hs: pd.Series) -> pd.Series:
+        out = []
+        weights = np.int64(1) << np.arange(n_bits, dtype=np.int64)
+        for arr in hs:
+            if arr is None or pd.isna(arr).any():
+                out.append(None)
+                continue
+            h = np.asarray(arr, dtype=np.int64)
+            bits = (
+                (h[:, None] >> np.arange(n_bits, dtype=np.int64)[None, :])
+                & np.int64(1)
+            )
+            acc = (2 * bits - 1).sum(axis=0)
+            out.append(int(weights[acc > 0].sum()))
+        return pd.Series(out, dtype="object")
+
+    from ..functions.parity import md5_long
+
+    n_hex = (n_bits + 3) // 4
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    hs = F.transform(words, lambda w: md5_long(w, n_hex=n_hex))
+    return docs.select(F.col(id_col).alias("doc_id"), _sig(hs).alias("simhash"))
+
+
 def simhash_md5_expr(
     docs: DataFrame,
     *,
@@ -594,7 +633,9 @@ def simhash_md5_expr(
     """SimHash with the SQL-parity hash family (md5 word hashes, ≤60
     bits): per-row higher-order expressions only — each bit's ±1 vote is
     one ``aggregate`` over the word-hash array, no explode, no shuffle.
-    Bit-reproducible in DuckDB (oracles.simhash_sql)."""
+    Bit-reproducible in DuckDB (oracles.simhash_sql);
+    :func:`simhash_md5_hybrid` computes the identical signature with the
+    vote matrix in numpy (the simhash_candidates md5 default since r08)."""
     from ..functions.parity import md5_long
 
     n_hex = (n_bits + 3) // 4
@@ -658,7 +699,9 @@ def simhash_candidates(
 
     docs = spread(docs)
     if hash_mode == "md5":
-        sh = simhash_md5_expr(docs, text_col=text_col, id_col=id_col, n_bits=n_bits)
+        sh = simhash_md5_hybrid(
+            docs, text_col=text_col, id_col=id_col, n_bits=n_bits
+        )
     elif use_expr:
         n_bits = 64
         # hybrid (r08): identical signatures to simhash64_expr with no

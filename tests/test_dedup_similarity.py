@@ -443,3 +443,15 @@ def test_simhash_hybrid_equals_expr(spark):
     a = {r["doc_id"]: r["simhash"] for r in dedup.simhash64_expr(docs).collect()}
     b = {r["doc_id"]: r["simhash"] for r in dedup.simhash64_hybrid(docs).collect()}
     assert a == b and 3 not in a
+
+
+def test_simhash_md5_hybrid_equals_expr(spark):
+    """r08: numpy-vote md5 simhash == expression fold, nulls included."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(
+        ["the quick brown fox", "", "a", None, "w x y z " * 30]
+    )])
+    a = {r["doc_id"]: r["simhash"] for r in dedup.simhash_md5_expr(docs, n_bits=56).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in dedup.simhash_md5_hybrid(docs, n_bits=56).collect()}
+    assert a == b and a[3] is None
