@@ -1770,7 +1770,20 @@ class RoundEngine:
             # rows: building the in-memory columnar cache of wide string
             # rows costs far more than the recompute it saves (a parquet
             # scan + small broadcast joins) — guide §5's caching caveat.
-            stats_row = agg.frontier_stats(frontier).collect()[0].asDict()
+            # The claims-only arithmetic stats shortcut applies equally
+            # to this mode (r08): it removes the one O(frontier) pass
+            # that is NOT semantically forced by the rewrite commit.
+            if (
+                completions is None
+                and heartbeats is None
+                and n_reaped == 0
+                and all(k in parent_counters for k in self._STATS_COUNT_KEYS)
+            ):
+                stats_row = self._claims_only_stats(
+                    parent_counters, n_claims, stage
+                )
+            else:
+                stats_row = agg.frontier_stats(frontier).collect()[0].asDict()
         tables = {
             "frontier": frontier,
             "workers": workers,
