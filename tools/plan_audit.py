@@ -19,8 +19,8 @@ SF_DIR = "/root/testdata/sf0.01"
 #: (label, how-to-build, notes) — the headline-expensive queries plus the
 #: pure-projection sanity rows
 AUDIT = [
-    ("dedup_minhash_lsh", "q", "bucket-join candidates, WindowGroupLimit bucket cap (asserted in test_plans)"),
-    ("dedup_simhash", "q", "pigeonhole block equi-join, bit_count filter"),
+    ("dedup_minhash_lsh", "q", "bucket-join candidates, WindowGroupLimit bucket cap (asserted in test_plans); the ArrowEval nodes are the r08 INTENDED hybrid kernels (JVM shingle hashes -> one numpy affine-min pass, bit-identical to the expr form)"),
+    ("dedup_simhash", "q", "pigeonhole block equi-join, bit_count filter; ArrowEval nodes = the r08 INTENDED numpy vote kernels (JVM md5 word hashes in, bit-identical signature out)"),
     ("sim_ann_lsh", "q", "band/bucket equi-join, exact re-score"),
     ("sim_knn_cosine", "q", "broadcast probes + IVF agreement stage (KMeans assign is a separate ML job, not in this plan)"),
     ("urlseen_bloom_probe", "q", "the pandas-group nodes are the INTENDED applyInPandas/cogroup bitmap ops (bitmap crosses Python once per bucket, never per row)"),
