@@ -179,8 +179,13 @@ def insert_into_bloom(
             }
         )
 
-    with_bucket = new_hashed.withColumn(
-        "bucket", F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int")
+    # project to (hash, bucket) BEFORE the group shuffle (r08, guide
+    # §2.3): the builder only reads the hash column, and the url string
+    # would otherwise ride the exchange AND the Arrow crossing for
+    # nothing (~4x the bytes at 1M urls)
+    with_bucket = new_hashed.select(
+        F.col(hash_col),
+        F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int").alias("bucket"),
     )
     return (
         with_bucket.groupBy("bucket")
@@ -249,8 +254,13 @@ def build_seen_filter(
             {"bucket": [bucket], "bitmap": [bits.tobytes()], "n_items": [len(pdf)]}
         )
 
-    with_bucket = urls_hashed.withColumn(
-        "bucket", F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int")
+    # project to (hash, bucket) BEFORE the group shuffle (r08, guide
+    # §2.3): the builder only reads the hash column, and the url string
+    # would otherwise ride the exchange AND the Arrow crossing for
+    # nothing (~4x the bytes at 1M urls)
+    with_bucket = urls_hashed.select(
+        F.col(hash_col),
+        F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int").alias("bucket"),
     )
     return with_bucket.groupBy("bucket").applyInPandas(_build, _BITMAP_SCHEMA)
 
@@ -501,8 +511,13 @@ def build_cuckoo_filter(
             }
         )
 
-    with_bucket = urls_hashed.withColumn(
-        "bucket", F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int")
+    # project to (hash, bucket) BEFORE the group shuffle (r08, guide
+    # §2.3): the builder only reads the hash column, and the url string
+    # would otherwise ride the exchange AND the Arrow crossing for
+    # nothing (~4x the bytes at 1M urls)
+    with_bucket = urls_hashed.select(
+        F.col(hash_col),
+        F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int").alias("bucket"),
     )
     return with_bucket.groupBy("bucket").applyInPandas(_build, _CUCKOO_SCHEMA)
 
@@ -614,8 +629,13 @@ def _cuckoo_update(
             {"bucket": [bucket], "table": [table.tobytes()], "n_items": [n_items]}
         )
 
-    with_bucket = updates_hashed.withColumn(
-        "bucket", F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int")
+    # project to (hash, bucket) BEFORE the group shuffle (r08, guide
+    # §2.3): the builder only reads the hash column, and the url string
+    # would otherwise ride the exchange AND the Arrow crossing for
+    # nothing (~4x the bytes at 1M urls)
+    with_bucket = updates_hashed.select(
+        F.col(hash_col),
+        F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int").alias("bucket"),
     )
     return (
         with_bucket.groupBy("bucket")
