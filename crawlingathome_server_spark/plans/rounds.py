@@ -57,6 +57,7 @@ def expand_frontier(
     follow_links: bool = False,
     extra_candidates: DataFrame | None = None,
     robots_broadcast: bool = True,
+    round_caches: list | None = None,
 ) -> DataFrame:
     """The flagship query: next round's fetch set from crawled pages.
 
@@ -257,6 +258,25 @@ def expand_frontier(
     ).withColumn("priority", (F.pmod(F.col("url_hash"), F.lit(1000)) / 1000.0)).withColumn(
         "pending", F.lit(False)
     ).withColumn("closed", F.lit(False)).withColumn("gpu", F.lit(False))
+    # Any claim path EXCEPT the unbounded-literal shortcut consumes the
+    # candidate chain more than once (the count-split's stats/cold/hot
+    # branches, or the classic narrow-rank + payload join-back), and only
+    # the chain's EXCHANGES are deduped by plan reuse — the post-exchange
+    # work (the D1 rank filter and above all the seen-filter cogroup's
+    # Python pass) re-runs per consumer. When the caller hands us a cache
+    # registry (the crawl engine's per-round cache list, released in its
+    # run_round finally), pin the candidate set once instead (r08,
+    # guide §1.2/§5 — measured: the probe cogroup re-execution was the
+    # dominant claim-stage cost in the discovery rounds). Library/bench
+    # callers that pass no registry get the uncached plan, unchanged.
+    multi_consumer = (
+        budget_attached
+        or robots is not None
+        or default_budget < claim_op.UNBOUNDED_BUDGET
+    )
+    if round_caches is not None and multi_consumer:
+        cand = cand.cache()
+        round_caches.append(cand)
     claimed = claim_op.claim_batch(
         cand,
         None if budget_attached else robots,
@@ -1113,6 +1133,7 @@ class CrawlEngine:
         n_expired, expired_keys, expired_df, flt_cached = 0, None, None, None
         claimed, changed_flt, curated = None, None, None
         curate_caches, changed_corpus_flt = [], None
+        expand_caches: list = []
         # every cached df is released in the finally even when the commit
         # aborts (e.g. a failed written-count read) — a long-lived engine
         # retrying rounds must not accumulate pinned filter/claim copies
@@ -1149,6 +1170,7 @@ class CrawlEngine:
                 default_budget=self.default_budget,
                 follow_links=self.follow_links,
                 extra_candidates=disc["seeds"] if disc is not None else None,
+                round_caches=expand_caches,
             )
             if params is not None:
                 claimed = expand_frontier(
@@ -1367,7 +1389,8 @@ class CrawlEngine:
             disc_caches = disc["caches"] if disc is not None else []
             for cached in (
                 expired_df, flt_cached, changed_flt, claimed, curated,
-                *curate_caches, changed_corpus_flt, *disc_caches
+                *curate_caches, changed_corpus_flt, *disc_caches,
+                *expand_caches,
             ):
                 if cached is not None:
                     cached.unpersist()

@@ -2498,3 +2498,51 @@ def test_curate_counters_survive_noncurate_round(spark, tmp_path):
     assert c3["n_curated"] == 1 and c3["n_corpus_total"] == 3
     # probes, not rebuilds: params object unchanged from round 1
     assert c3["corpus_params"] == c1["corpus_params"]
+
+
+def test_expand_candidate_cache_released_after_round(spark, tmp_path):
+    """r08 session 2: a budgeted (discovery) round pins its post-probe
+    candidate set so the claim's narrow-rank and payload-join consumers
+    stop re-running the seen-filter cogroup — and run_round's finally
+    must RELEASE that cache (with every other round cache) even though
+    it was created inside expand_frontier, or a long-lived engine
+    accumulates a pinned copy per round."""
+    import datetime as dt
+
+    from crawlingathome_server_spark.plans.rounds import CrawlEngine
+
+    ts = dt.datetime(2021, 1, 1)
+
+    def _pages(rows):
+        return spark.createDataFrame(
+            [(u, ts) for u in rows], schema="url string, warc_ts timestamp"
+        )
+
+    store = CheckpointStore(str(tmp_path / "cachedisc"), n_partitions=4)
+    eng = CrawlEngine(
+        spark, store, seed=7, default_budget=1 << 20, discovery=True,
+        agent="ourbot",
+    )
+    eng.bootstrap()
+    eng.run_round(
+        _pages([f"http://h{i % 7}.example.com/p/{i}" for i in range(50)]),
+        round_epoch=1,
+    )
+    bodies = eng.robots_worklist().select(
+        "host",
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private\nCrawl-delay: 1\n"),
+            F.lit(""),
+        ).alias("robots_txt"),
+    )
+    def _n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    baseline = _n_persistent()
+    eng.run_round(
+        _pages([f"http://h{i % 7}.example.com/q/{i}" for i in range(60)]),
+        round_epoch=2,
+        robots_fetched=bodies,
+    )
+    after = _n_persistent()
+    assert after <= baseline, (baseline, after)
